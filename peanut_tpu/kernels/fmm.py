@@ -1,0 +1,207 @@
+"""Geodesic distance fields on TPU — fast-sweeping eikonal solver.
+
+Replaces the reference's ``skfmm.distance`` (sequential C fast-marching; used
+at /root/reference/nav/agent/agent_state.py:391 and
+nav/agent/utils/fmm_planner.py:64,72) with a data-parallel fast-sweeping
+method (FSM) that XLA compiles for the VPU:
+
+  * horizontal propagation: segmented min-plus *associative scans* along rows
+    (log-depth, wall cells block propagation by acting as +inf elements);
+  * vertical propagation: ``lax.scan`` over rows so each row sees the already
+    -updated previous row (the sequential half of FSM), with the Godunov
+    upwind quadratic ``d = (a + b + sqrt(2 - (a-b)^2)) / 2`` coupling the two
+    axes;
+  * the same pair applied to the transposed grid covers the remaining sweep
+    directions.
+
+The solver is batched over a leading axis, so the 16-episode runtime solves
+all envs' distance fields in one call.  Values monotonically decrease toward
+the Godunov fixed point, which is the first-order FMM solution; `n_iters`
+bounds work statically (indoor floor plans converge in 2-3 iterations).
+
+Semantics mirror skfmm-on-masked-array: walls (non-traversible, non-source
+cells) and unreachable cells come back as +inf; ``masked_fill_unreachable``
+reproduces ``ma.filled(dd, max(dd) + 1)`` (agent_state.py:392).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BIG = 1.0e10
+
+
+def _seg_scan_1d(d, wall, reverse: bool):
+    """Segmented x[i] = min(d[i], x[i-1] + 1) along the last axis.
+
+    Each cell is an affine-min map f(v) = min(b, v + a); composition
+    (a1,b1)∘(a2,b2) = (a1+a2, min(b2, b1+a2)) is associative, so the
+    recurrence runs as a log-depth associative scan.  Wall cells use
+    (BIG, BIG), which blocks propagation through them.
+    """
+    a = jnp.where(wall, BIG, 1.0)
+    b = jnp.where(wall, BIG, d)
+
+    def combine(x, y):
+        a1, b1 = x
+        a2, b2 = y
+        return (jnp.minimum(a1 + a2, BIG), jnp.minimum(b2, b1 + a2))
+
+    _, out = lax.associative_scan(combine, (a, b), axis=d.ndim - 1,
+                                  reverse=reverse)
+    return jnp.minimum(d, out)
+
+
+def _godunov(a, b):
+    """Upwind quadratic solve for |grad d| = 1 given axis minima a, b."""
+    diff = a - b
+    direct = jnp.minimum(a, b) + 1.0
+    disc = jnp.sqrt(jnp.maximum(2.0 - diff * diff, 0.0))
+    both = 0.5 * (a + b + disc)
+    return jnp.where(jnp.abs(diff) >= 1.0, direct, both)
+
+
+def _jacobi_pass(d, wall):
+    """One elementwise Godunov relaxation over the full grid."""
+    up = jnp.pad(d[..., :-1, :], [(0, 0)] * (d.ndim - 2) + [(1, 0), (0, 0)],
+                 constant_values=BIG)
+    down = jnp.pad(d[..., 1:, :], [(0, 0)] * (d.ndim - 2) + [(0, 1), (0, 0)],
+                   constant_values=BIG)
+    left = jnp.pad(d[..., :, :-1], [(0, 0)] * (d.ndim - 2) + [(0, 0), (1, 0)],
+                   constant_values=BIG)
+    right = jnp.pad(d[..., :, 1:], [(0, 0)] * (d.ndim - 2) + [(0, 0), (0, 1)],
+                    constant_values=BIG)
+    cand = _godunov(jnp.minimum(up, down), jnp.minimum(left, right))
+    return jnp.where(wall, BIG, jnp.minimum(d, cand))
+
+
+def _block_jacobi(blk, wall, top, bottom, inner: int):
+    """Relax a row block to its local fixed point given boundary rows.
+
+    blk: (..., R, W); top/bottom: (..., W) neighbour rows outside the block.
+    Each inner iteration runs the horizontal segmented scans plus one Godunov
+    pass, so information crosses the whole block vertically (R rows) and any
+    distance horizontally (log-depth scans).
+    """
+    nd = blk.ndim
+
+    def one(blk, _):
+        blk = _seg_scan_1d(blk, wall, reverse=False)
+        blk = _seg_scan_1d(blk, wall, reverse=True)
+        up = jnp.concatenate([top[..., None, :], blk[..., :-1, :]], axis=-2)
+        down = jnp.concatenate([blk[..., 1:, :], bottom[..., None, :]], axis=-2)
+        left = jnp.pad(blk[..., :, :-1], [(0, 0)] * (nd - 1) + [(1, 0)],
+                       constant_values=BIG)
+        right = jnp.pad(blk[..., :, 1:], [(0, 0)] * (nd - 1) + [(0, 1)],
+                        constant_values=BIG)
+        cand = _godunov(jnp.minimum(up, down), jnp.minimum(left, right))
+        return jnp.where(wall, BIG, jnp.minimum(blk, cand)), None
+
+    blk, _ = lax.scan(one, blk, None, length=inner)
+    return blk
+
+
+def _v_sweep(d, wall, reverse: bool, block: int = 16, inner: int = 40):
+    """Blocked sequential row sweep (the FSM core).
+
+    The grid is cut into row blocks; blocks are processed sequentially in the
+    sweep direction (each sees the already-updated previous block), and each
+    block is relaxed to convergence internally.  This keeps the sequential
+    chain at H/block lax.scan steps while matching full FSM propagation.
+    """
+    h = d.shape[-2]
+    pad_h = (-h) % block
+    if pad_h:
+        padspec = [(0, 0)] * (d.ndim - 2) + [(0, pad_h), (0, 0)]
+        d = jnp.pad(d, padspec, constant_values=BIG)
+        wall = jnp.pad(wall, padspec, constant_values=True)
+    nb = d.shape[-2] // block
+    w = d.shape[-1]
+    batch_shape = d.shape[:-2]
+    blocks = d.reshape(batch_shape + (nb, block, w))
+    wblocks = wall.reshape(batch_shape + (nb, block, w))
+    # scan over the block axis
+    blocks = jnp.moveaxis(blocks, -3, 0)       # (nb, ..., R, W)
+    wblocks = jnp.moveaxis(wblocks, -3, 0)
+
+    big_row = jnp.full(batch_shape + (w,), BIG, d.dtype)
+    if not reverse:
+        # old first row of the next block serves as the far boundary
+        nxt = jnp.concatenate([blocks[1:, ..., 0, :], big_row[None]], axis=0)
+    else:
+        nxt = jnp.concatenate([big_row[None], blocks[:-1, ..., -1, :]], axis=0)
+
+    def step(carry, x):
+        blk, wblk, far = x
+        if not reverse:
+            top, bottom = carry, far
+        else:
+            top, bottom = far, carry
+        blk = _block_jacobi(blk, wblk, top, bottom, inner)
+        out_boundary = blk[..., -1, :] if not reverse else blk[..., 0, :]
+        return out_boundary, blk
+
+    _, out = lax.scan(step, big_row, (blocks, wblocks, nxt), reverse=reverse)
+    out = jnp.moveaxis(out, 0, -3).reshape(batch_shape + (nb * block, w))
+    return out[..., :h, :]
+
+
+def _axis_relax(d, wall):
+    d = _seg_scan_1d(d, wall, reverse=False)
+    d = _seg_scan_1d(d, wall, reverse=True)
+    return _jacobi_pass(d, wall)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "block", "inner"))
+def eikonal_distance(traversible, sources, n_iters: int = 2, block: int = 16,
+                     inner: int = 40):
+    """Geodesic (unit-speed eikonal) distance to source cells.
+
+    Args:
+      traversible: (..., H, W) bool/float — nonzero = passable.
+      sources: (..., H, W) bool/float — nonzero = distance-0 cells.  A source
+        on a non-traversible cell is still a source (skfmm's masked-array
+        assignment unmasks it; fmm_planner.py:70-71).
+      n_iters: fast-sweeping iterations (static).  Convergence needs
+        inner >= ~2.5*block; with block=16/inner=40 one iteration reaches
+        <0.1 cell error on open maps of any size, two suffice for floor plans.
+
+    Returns:
+      (..., H, W) float32 distances; +inf at walls and unreachable cells.
+    """
+    trav = jnp.asarray(traversible) > 0
+    src = jnp.asarray(sources) > 0
+    wall = jnp.logical_not(trav) & jnp.logical_not(src)
+    d = jnp.where(src, 0.0, BIG).astype(jnp.float32)
+    wallf = wall
+
+    for _ in range(n_iters):
+        d = _axis_relax(d, wallf)
+        d = _v_sweep(d, wallf, reverse=False, block=block, inner=inner)
+        d = _v_sweep(d, wallf, reverse=True, block=block, inner=inner)
+        # Transposed orientation: columns become rows.
+        dt = jnp.swapaxes(d, -1, -2)
+        wt = jnp.swapaxes(wallf, -1, -2)
+        dt = _axis_relax(dt, wt)
+        dt = _v_sweep(dt, wt, reverse=False, block=block, inner=inner)
+        dt = _v_sweep(dt, wt, reverse=True, block=block, inner=inner)
+        d = jnp.swapaxes(dt, -1, -2)
+
+    return jnp.where(d >= 0.5 * BIG, jnp.inf, d)
+
+
+def masked_fill_unreachable(dist):
+    """Replicate ``dd = ma.filled(dd, max(dd) + 1)`` on the solver output.
+
+    Finite cells keep their distance; walls/unreachable get max_finite + 1.
+    Matches agent_state.py:392 and fmm_planner.py:73.
+    """
+    dist = jnp.asarray(dist)
+    finite = jnp.isfinite(dist)
+    max_finite = jnp.max(jnp.where(finite, dist, -jnp.inf), axis=(-2, -1),
+                         keepdims=True)
+    return jnp.where(finite, dist, max_finite + 1.0)

@@ -1,0 +1,109 @@
+"""Eikonal solver tests: convergence to the Godunov fixed point (the
+first-order FMM solution skfmm approximates) and planner-facing semantics."""
+
+import numpy as np
+import pytest
+
+from peanut_tpu.kernels import eikonal_distance, masked_fill_unreachable
+from peanut_tpu.kernels.fmm import _jacobi_pass, BIG
+
+import jax.numpy as jnp
+
+
+def brute_force_fixed_point(trav, src, max_iter=2000):
+    """Oracle: iterate the Godunov update to convergence (slow, small grids)."""
+    wall = (~(trav > 0)) & (~(src > 0))
+    d = np.where(src > 0, 0.0, BIG).astype(np.float32)
+    d = jnp.asarray(d)
+    w = jnp.asarray(wall)
+    for _ in range(max_iter):
+        nd = _jacobi_pass(d, w)
+        if float(jnp.max(jnp.abs(nd - d))) < 1e-6:
+            d = nd
+            break
+        d = nd
+    return np.where(np.asarray(d) >= 0.5 * BIG, np.inf, np.asarray(d))
+
+
+def test_empty_grid_point_source():
+    n = 33
+    trav = np.ones((n, n), np.float32)
+    src = np.zeros((n, n), np.float32)
+    src[0, 0] = 1
+    d = np.asarray(eikonal_distance(trav, src, n_iters=3))
+    want = brute_force_fixed_point(trav, src)
+    np.testing.assert_allclose(d, want, rtol=1e-4, atol=1e-3)
+    # axis distances are exact integers
+    assert d[0, 10] == pytest.approx(10.0, abs=1e-3)
+    assert d[20, 0] == pytest.approx(20.0, abs=1e-3)
+    # diagonal between Euclidean lower bound and Manhattan upper bound
+    assert np.sqrt(2) * 10 <= d[10, 10] <= 20
+
+
+def test_wall_blocks_and_detour():
+    n = 21
+    trav = np.ones((n, n), np.float32)
+    trav[10, :20] = 0  # wall with a gap at the right edge
+    src = np.zeros((n, n), np.float32)
+    src[0, 0] = 1
+    d = np.asarray(eikonal_distance(trav, src, n_iters=4))
+    want = brute_force_fixed_point(trav, src)
+    np.testing.assert_allclose(d, want, rtol=1e-4, atol=1e-3)
+    assert np.isinf(d[10, 0])          # wall cell
+    assert d[20, 0] > 30               # must detour around the wall
+
+
+def test_unreachable_region_is_inf():
+    n = 15
+    trav = np.ones((n, n), np.float32)
+    trav[:, 7] = 0  # full vertical wall
+    src = np.zeros((n, n), np.float32)
+    src[0, 0] = 1
+    d = np.asarray(eikonal_distance(trav, src, n_iters=3))
+    assert np.isinf(d[:, 8:]).all()
+    filled = np.asarray(masked_fill_unreachable(d))
+    mx = d[np.isfinite(d)].max()
+    assert (filled[:, 8:] == mx + 1).all()
+
+
+def test_source_on_wall_is_unmasked():
+    # fmm_planner.py:70-71: assigning 0 to a masked cell unmasks it
+    n = 9
+    trav = np.ones((n, n), np.float32)
+    trav[4, 4] = 0
+    src = np.zeros((n, n), np.float32)
+    src[4, 4] = 1
+    d = np.asarray(eikonal_distance(trav, src, n_iters=2))
+    assert d[4, 4] == 0.0
+    assert d[4, 5] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_batched_solve():
+    n = 17
+    trav = np.ones((2, n, n), np.float32)
+    src = np.zeros((2, n, n), np.float32)
+    src[0, 0, 0] = 1
+    src[1, 8, 8] = 1
+    d = np.asarray(eikonal_distance(trav, src, n_iters=3))
+    d0 = np.asarray(eikonal_distance(trav[0], src[0], n_iters=3))
+    d1 = np.asarray(eikonal_distance(trav[1], src[1], n_iters=3))
+    np.testing.assert_allclose(d[0], d0, atol=1e-5)
+    np.testing.assert_allclose(d[1], d1, atol=1e-5)
+
+
+def test_maze_converges():
+    # zigzag corridor: worst case for sweep count
+    rng = np.random.RandomState(3)
+    n = 31
+    trav = np.ones((n, n), np.float32)
+    for i, r in enumerate(range(3, n - 3, 4)):
+        if i % 2 == 0:
+            trav[r, :n - 4] = 0
+        else:
+            trav[r, 4:] = 0
+    src = np.zeros((n, n), np.float32)
+    src[0, 0] = 1
+    d = np.asarray(eikonal_distance(trav, src, n_iters=8))
+    want = brute_force_fixed_point(trav, src, max_iter=5000)
+    finite = np.isfinite(want)
+    np.testing.assert_allclose(d[finite], want[finite], rtol=1e-3, atol=1e-2)
