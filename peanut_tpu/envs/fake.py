@@ -1,0 +1,164 @@
+"""Synthetic ObjectNav environment for tests and benchmarks.
+
+A raycast 2D gridworld exposing the same observation dict contract as the
+habitat task the reference targets (configs/challenge_objectnav2022:
+640x480 RGB-D, HFOV 79, GPS+compass, objectgoal; actions STOP/FWD/LEFT/
+RIGHT at 25cm / 30deg).  Depth comes from a per-column 2D raycast against
+the occupancy grid, so the agent's mapping pipeline sees geometrically
+consistent walls; the goal object renders into a ground-truth segmentation
+channel when visible.  No habitat required.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config import NavConfig
+
+
+class FakeNavEnv:
+    FORWARD_M = 0.25
+
+    def __init__(self, cfg: NavConfig, size_m: float = 12.0, seed: int = 0,
+                 max_steps: Optional[int] = None):
+        self.cfg = cfg
+        self.size = size_m
+        self.rng = np.random.RandomState(seed)
+        self.res = 0.05  # occupancy resolution (m/cell)
+        self.n = int(size_m / self.res)
+        self.max_steps = max_steps or cfg.max_episode_length
+        self.episode_over = False
+        self._metrics = {}
+
+    # ------------------------------------------------------------------
+    def _build_world(self):
+        n = self.n
+        occ = np.zeros((n, n), bool)
+        occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = True
+        # a few interior walls with gaps
+        for _ in range(3):
+            r = self.rng.randint(n // 4, 3 * n // 4)
+            gap = self.rng.randint(n // 6, n - n // 6)
+            if self.rng.rand() < 0.5:
+                occ[r, :gap - 10] = True
+                occ[r, gap + 10:] = True
+            else:
+                occ[:gap - 10, r] = True
+                occ[gap + 10:, r] = True
+        return occ
+
+    def reset(self) -> Dict:
+        self.occ = self._build_world()
+        self.steps = 0
+        self.episode_over = False
+        self.called_stop = False
+        # agent pose: x (m), y (m), heading (rad, 0 = +x)
+        self.pose = np.array([self.size / 2, self.size / 2, 0.0])
+        self.start_pose = self.pose.copy()
+        # place the goal object somewhere free, away from the agent
+        while True:
+            gx, gy = self.rng.rand(2) * (self.size - 2) + 1
+            if not self._occupied(gx, gy) and \
+                    np.hypot(gx - self.pose[0], gy - self.pose[1]) > 3.0:
+                self.goal_pos = np.array([gx, gy])
+                break
+        self.goal_id = self.rng.randint(0, 6)
+        return self._obs()
+
+    def _occupied(self, x, y) -> bool:
+        i = int(np.clip(y / self.res, 0, self.n - 1))
+        j = int(np.clip(x / self.res, 0, self.n - 1))
+        return bool(self.occ[i, j])
+
+    # ------------------------------------------------------------------
+    def _raycast(self, angles) -> np.ndarray:
+        """Distances (m) along each angle until a wall, from the agent."""
+        max_d = self.cfg.max_depth + 1.0
+        step = self.res * 0.9
+        n_steps = int(max_d / step)
+        x0, y0 = self.pose[0], self.pose[1]
+        ds = np.arange(1, n_steps + 1) * step
+        xs = x0 + np.cos(angles)[:, None] * ds[None, :]
+        ys = y0 + np.sin(angles)[:, None] * ds[None, :]
+        ii = np.clip((ys / self.res).astype(int), 0, self.n - 1)
+        jj = np.clip((xs / self.res).astype(int), 0, self.n - 1)
+        hit = self.occ[ii, jj]
+        first = np.where(hit.any(axis=1), hit.argmax(axis=1), n_steps - 1)
+        return ds[first]
+
+    def _obs(self) -> Dict:
+        cfg = self.cfg
+        w, h = cfg.env_frame_width, cfg.env_frame_height
+        half = np.deg2rad(cfg.hfov) / 2
+        angles = self.pose[2] + np.linspace(half, -half, w)
+        dist = self._raycast(angles)  # (W,)
+        # planar distance -> perpendicular depth (pinhole convention)
+        depth_m = dist * np.cos(angles - self.pose[2])
+        depth = np.clip((depth_m - cfg.min_depth)
+                        / (cfg.max_depth - cfg.min_depth), 0.0, 1.0)
+        depth_img = np.tile(depth[None, :], (h, 1)).astype(np.float32)[..., None]
+
+        rgb = np.full((h, w, 3), 127, np.uint8)
+
+        # ground-truth goal segmentation: visible + within range
+        goalseg = np.zeros((h, w), np.float32)
+        gvec = self.goal_pos - self.pose[:2]
+        gdist = np.hypot(*gvec)
+        gang = np.arctan2(gvec[1], gvec[0])
+        rel = (gang - self.pose[2] + np.pi) % (2 * np.pi) - np.pi
+        if abs(rel) < half and cfg.min_depth < gdist < cfg.max_depth:
+            col = int((half - rel) / (2 * half) * (w - 1))
+            ray_d = self._raycast(np.array([gang]))[0]
+            if ray_d > gdist - 0.1:  # not behind a wall
+                cw = max(3, int(0.4 / gdist * w / (2 * half)))
+                goalseg[h // 3:2 * h // 3,
+                        max(0, col - cw):min(w, col + cw)] = 1.0
+                rgb[h // 3:2 * h // 3,
+                    max(0, col - cw):min(w, col + cw)] = (200, 40, 40)
+
+        # habitat gps convention: x forward-ish, see peanut_agent.py:77-84
+        gps = np.array([self.pose[0] - self.start_pose[0],
+                        -(self.pose[1] - self.start_pose[1])])
+        compass = np.array([self.pose[2] - self.start_pose[2]])
+        return {
+            "rgb": rgb,
+            "depth": depth_img,
+            "gps": gps,
+            "compass": compass,
+            "objectgoal": np.array([self.goal_id]),
+            "goalseg": goalseg,
+        }
+
+    # ------------------------------------------------------------------
+    def step(self, action) -> Dict:
+        if isinstance(action, dict):
+            action = action["action"]
+        self.steps += 1
+        turn = np.deg2rad(self.cfg.turn_angle)
+        if action == 0:
+            self.called_stop = True
+            self.episode_over = True
+        elif action == 1:
+            nx = self.pose[0] + np.cos(self.pose[2]) * self.FORWARD_M
+            ny = self.pose[1] + np.sin(self.pose[2]) * self.FORWARD_M
+            # slide-free collision: blocked moves do nothing
+            if not self._occupied(nx, ny):
+                self.pose[0], self.pose[1] = nx, ny
+        elif action == 2:  # left
+            self.pose[2] += turn
+        elif action == 3:  # right
+            self.pose[2] -= turn
+        if self.steps >= self.max_steps:
+            self.episode_over = True
+        if self.episode_over:
+            d = float(np.hypot(*(self.goal_pos - self.pose[:2])))
+            success = float(self.called_stop and d < 1.0)
+            self._metrics = {"success": success, "distance_to_goal": d,
+                             "spl": success * min(1.0, 3.0 / max(d + 3.0, 1e-5)),
+                             "steps": self.steps}
+        return self._obs()
+
+    def get_metrics(self) -> Dict:
+        return self._metrics
