@@ -1,0 +1,69 @@
+"""Benchmark: prediction-net throughput on the target hardware.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Headline metric: PEANUT target-prediction PSPNet-R50 forward passes per second
+per chip at the full 720x720x14 prediction window (BASELINE config 1 scaled to
+the serving path).  Baseline: the reference serves this model through
+mmseg/torch on the challenge GPU; mmseg's own model-zoo benchmark for
+PSPNet-R50-d8 (512x1024 = 0.52MPix, same per-image pixel count as 720^2 =
+0.52MPix) reports ~2.48 img/s on a V100 with the reference's
+tools/benchmark.py harness — used as the reference throughput.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+BASELINE_MAPS_PER_SEC = 2.48  # mmseg zoo PSPNet-R50-d8 @0.52MPix, V100 fp32
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from peanut_tpu.models import build_segmentor, init_segmentor_params
+    from peanut_tpu.models.builder import peanut_prediction_config
+
+    size = 720
+    batch = 4
+    model = build_segmentor(peanut_prediction_config())
+    variables = init_segmentor_params(model, (1, size, size, 14))
+
+    # bf16 weights/activations: the MXU path (params stay f32-master in
+    # training; serving casts)
+    bf16_vars = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
+
+    @jax.jit
+    def fwd_sum(v, x):
+        # scalar checksum output: forces full execution and costs a 4-byte
+        # host fetch — the only synchronization the experimental axon tunnel
+        # honours reliably (block_until_ready can return early there)
+        return jnp.sum(model.apply(v, x, method=model.inference))
+
+    xs = [jnp.asarray(np.random.rand(batch, size, size, 14), jnp.bfloat16)
+          for _ in range(2)]
+
+    # warmup / compile
+    float(fwd_sum(bf16_vars, xs[0]))
+    float(fwd_sum(bf16_vars, xs[1]))
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        float(fwd_sum(bf16_vars, xs[i % 2]))
+    dt = time.perf_counter() - t0
+    maps_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "prednet_720x720_maps_per_sec_per_chip",
+        "value": round(maps_per_sec, 3),
+        "unit": "maps/s",
+        "vs_baseline": round(maps_per_sec / BASELINE_MAPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
