@@ -1,0 +1,81 @@
+"""Prediction-model training CLI.
+
+Same recipe as the reference trainer
+(/root/reference/prediction/train_prediction_model.py:214-319): PSPNet
+-R50v1c over 14-channel maps, 6 classes, BCE, batch 8, crop 960, Adam 5e-4
+poly decay, 60k iters, checkpoint every 2k, eval disabled during training.
+Data parallelism: shard the batch over all local devices via the mesh (the
+NCCL/MMDDP replacement).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data_root", type=str, default="../data/saved_maps")
+    parser.add_argument("--img_dir", type=str, default="train_80")
+    parser.add_argument("--work_dir", type=str,
+                        default="./work_dirs/final_model")
+    parser.add_argument("--max_iters", type=int, default=60000)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--crop_size", type=int, default=960)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--no_resume", action="store_true")
+    ns, _ = parser.parse_known_args(argv)
+
+    import jax
+    import optax
+
+    from ..core.mesh import make_mesh
+    from ..models import build_segmentor, init_segmentor_params
+    from ..models.builder import peanut_prediction_config
+    from ..prediction.dataset import (SemMapDataset, PrefetchLoader,
+                                      training_pipeline)
+    from ..prediction.runner import IterRunner
+    from ..prediction.train import (TrainConfig, create_train_state,
+                                    make_train_step, poly_schedule)
+
+    tcfg = TrainConfig(lr=ns.lr, max_iters=ns.max_iters,
+                       batch_size=ns.batch_size, seed=ns.seed)
+
+    rng = np.random.RandomState(ns.seed)
+    dataset = SemMapDataset(ns.data_root, ns.img_dir,
+                            pipeline=training_pipeline(ns.crop_size, rng=rng))
+    loader = PrefetchLoader(dataset, tcfg.batch_size, seed=ns.seed,
+                            num_workers=ns.num_workers)
+    logging.info("Loaded %d samples", len(dataset))
+
+    model = build_segmentor(peanut_prediction_config())
+    variables = init_segmentor_params(
+        model, (1, ns.crop_size, ns.crop_size, 14), train=True)
+
+    tx = optax.adam(learning_rate=poly_schedule(tcfg))
+    state, tx = create_train_state(model, variables, tcfg, tx=tx)
+
+    n_dev = jax.device_count()
+    mesh = make_mesh({"data": n_dev}) if n_dev > 1 else None
+    step_fn, _ = make_train_step(model, tcfg, tx, mesh=mesh)
+
+    runner = IterRunner(step_fn, state, loader, tcfg, ns.work_dir,
+                        auto_resume=not ns.no_resume)
+    if mesh is not None:
+        with mesh:
+            runner.run()
+    else:
+        runner.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -171,11 +171,20 @@ def save_checkpoint(path: str, tree, step: int | None = None):
             f.write(str(step))
 
 
-def load_checkpoint(path: str):
+def load_checkpoint(path: str, target=None):
+    """Restore a checkpoint; pass ``target`` (a matching pytree of arrays)
+    to recover custom node types (TrainState, optax states)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    tree = ckptr.restore(os.path.abspath(path))
+    if target is not None:
+        import jax
+        import numpy as _np
+
+        target = jax.tree.map(_np.asarray, target)
+        tree = ckptr.restore(os.path.abspath(path), item=target)
+    else:
+        tree = ckptr.restore(os.path.abspath(path))
     step_file = os.path.join(path, "STEP")
     step = None
     if os.path.exists(step_file):

@@ -1,0 +1,223 @@
+"""Semantic-map dataset + augmentation pipeline for prediction training.
+
+Twin of the reference's SemMapDataset + LoadMapFromFile + mmcv transforms
+(/root/reference/prediction/train_prediction_model.py:31-170 and
+nav/pred_model_cfg.py:47-56): each saved episode .npz holds a
+(20, 14, H, W) uint8 sequence of map snapshots at steps 25..500; the first
+10 timesteps become partial-map inputs and the supervision target is the
+**final** map's 6 goal-category channels masked to the regions unexplored at
+the input timestep.
+
+Augmentations mirror the reference recipe: Pad to 1.25x with zeros ->
+RandomCrop to map size -> RandomFlip 0.5 -> RandomRotate +-180deg p=1.0
+(bilinear for the input stack, the target channels ride along the same
+transform; mmcv rotates with cv2.warpAffine).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..registry import DATASETS
+
+NUM_TARGET_CATEGORIES = 6
+GOAL_CHANNELS = slice(4, 4 + NUM_TARGET_CATEGORIES)
+NUM_INPUT_TIMESTEPS = 10
+
+
+def load_map_sample(path: str, t_idx: int) -> Dict[str, np.ndarray]:
+    """LoadMapFromFile semantics (train_prediction_model.py:47-91)."""
+    maps = np.load(path)
+    if path.endswith("z"):
+        maps = maps["maps"]
+    img = maps[t_idx].transpose(1, 2, 0).astype(np.float32) / 255.0  # HWC
+    explored = img[:, :, 1] > 0
+    gt = (maps[-1, GOAL_CHANNELS] * (1 - explored)).transpose(1, 2, 0)
+    return {"img": img, "gt": gt.astype(np.float32)}
+
+
+@DATASETS.register()
+class SemMapDataset:
+    """Index over (file, t_idx) pairs; 10 samples per episode file."""
+
+    def __init__(self, data_root: str, img_dir: str = "train",
+                 pipeline=None, **unused):
+        self.dir = os.path.join(data_root, img_dir)
+        self.pipeline = pipeline
+        files = sorted(f for f in os.listdir(self.dir)
+                       if f.endswith(".npz") or f.endswith(".npy"))
+        self.samples: List[Tuple[str, int]] = [
+            (os.path.join(self.dir, f), t)
+            for f in files for t in range(NUM_INPUT_TIMESTEPS)]
+        if not self.samples:
+            raise FileNotFoundError(f"no map files under {self.dir}")
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i) -> Dict[str, np.ndarray]:
+        path, t_idx = self.samples[i]
+        sample = load_map_sample(path, t_idx)
+        if self.pipeline is not None:
+            sample = self.pipeline(sample)
+        return sample
+
+
+# ----------------------------------------------------------------------
+# Augmentations (cv2-backed, mmcv-parity)
+# ----------------------------------------------------------------------
+
+class Pad:
+    """Zero-pad bottom/right to a fixed size (mmcv Pad semantics)."""
+
+    def __init__(self, size: Tuple[int, int], pad_val: float = 0.0):
+        self.size = size
+        self.pad_val = pad_val
+
+    def __call__(self, s):
+        for key in ("img", "gt"):
+            x = s[key]
+            ph = max(0, self.size[0] - x.shape[0])
+            pw = max(0, self.size[1] - x.shape[1])
+            s[key] = np.pad(x, ((0, ph), (0, pw), (0, 0)),
+                            constant_values=self.pad_val)
+        return s
+
+
+class RandomCrop:
+    def __init__(self, crop_size: Tuple[int, int], rng=None):
+        self.crop = crop_size
+        self.rng = rng or np.random
+
+    def __call__(self, s):
+        h, w = s["img"].shape[:2]
+        ch, cw = self.crop
+        y = self.rng.randint(0, max(h - ch, 0) + 1)
+        x = self.rng.randint(0, max(w - cw, 0) + 1)
+        for key in ("img", "gt"):
+            s[key] = s[key][y:y + ch, x:x + cw]
+        return s
+
+
+class RandomFlip:
+    def __init__(self, prob: float = 0.5, rng=None):
+        self.prob = prob
+        self.rng = rng or np.random
+
+    def __call__(self, s):
+        if self.rng.rand() < self.prob:
+            for key in ("img", "gt"):
+                s[key] = s[key][:, ::-1].copy()
+        return s
+
+
+class RandomRotate:
+    """Rotate by a uniform angle in [-degree, degree] (mmcv: cv2.warpAffine,
+    bilinear for img, nearest for seg targets)."""
+
+    def __init__(self, prob: float = 1.0, degree: float = 180.0,
+                 pad_val: float = 0.0, rng=None):
+        self.prob = prob
+        self.degree = degree
+        self.pad_val = pad_val
+        self.rng = rng or np.random
+
+    def __call__(self, s):
+        import cv2
+
+        if self.rng.rand() >= self.prob:
+            return s
+        angle = self.rng.uniform(-self.degree, self.degree)
+        h, w = s["img"].shape[:2]
+        m = cv2.getRotationMatrix2D(((w - 1) * 0.5, (h - 1) * 0.5), angle, 1.0)
+        s["img"] = cv2.warpAffine(s["img"], m, (w, h),
+                                  flags=cv2.INTER_LINEAR,
+                                  borderValue=self.pad_val).reshape(h, w, -1)
+        s["gt"] = cv2.warpAffine(s["gt"], m, (w, h),
+                                 flags=cv2.INTER_NEAREST,
+                                 borderValue=self.pad_val).reshape(h, w, -1)
+        return s
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, s):
+        for t in self.transforms:
+            s = t(s)
+        return s
+
+
+def training_pipeline(map_size: int = 960, rng=None) -> Compose:
+    """The reference training recipe (pred_model_cfg.py:47-56)."""
+    return Compose([
+        Pad((int(map_size * 1.25), int(map_size * 1.25))),
+        RandomCrop((map_size, map_size), rng=rng),
+        RandomFlip(0.5, rng=rng),
+        RandomRotate(1.0, 180.0, rng=rng),
+    ])
+
+
+# ----------------------------------------------------------------------
+# Batching with background prefetch
+# ----------------------------------------------------------------------
+
+class PrefetchLoader:
+    """Shuffling, epoch-looping batch iterator with a worker thread pool.
+
+    Replaces torch DataLoader (mmseg datasets/builder.py:90-175): worker
+    threads decode + augment .npz samples while the device trains, a bounded
+    queue provides backpressure (double buffering host->HBM).
+    """
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0,
+                 num_workers: int = 4, queue_depth: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.num_workers = num_workers
+        self.queue_depth = queue_depth
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        import queue as queue_mod
+        import threading
+
+        rng = np.random.RandomState(self.seed)
+        out_q: "queue_mod.Queue" = queue_mod.Queue(self.queue_depth)
+        idx_q: "queue_mod.Queue" = queue_mod.Queue()
+        stop = threading.Event()
+
+        def producer():
+            epoch = 0
+            while not stop.is_set():
+                order = rng.permutation(len(self.dataset))
+                for start in range(0, len(order) - self.batch_size + 1,
+                                   self.batch_size):
+                    idx_q.put(order[start:start + self.batch_size])
+                epoch += 1
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    idxs = idx_q.get(timeout=0.5)
+                except queue_mod.Empty:
+                    continue
+                samples = [self.dataset[i] for i in idxs]
+                batch = {k: np.stack([s[k] for s in samples])
+                         for k in samples[0]}
+                out_q.put(batch)
+
+        threads = [threading.Thread(target=producer, daemon=True)]
+        threads += [threading.Thread(target=worker, daemon=True)
+                    for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        try:
+            while True:
+                yield out_q.get()
+        finally:
+            stop.set()
