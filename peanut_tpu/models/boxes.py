@@ -1,0 +1,134 @@
+"""Box utilities for detection heads (static-shape, XLA-friendly).
+
+Semantics follow detectron2's Box2BoxTransform / batched NMS (the reference's
+Mask R-CNN runs through detectron2; /root/reference/nav/agent/utils/
+segmentation.py:28-62).  Everything is fixed-size: suppressed/invalid slots
+carry -inf scores instead of being dropped, so the whole detector jits with
+no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def apply_deltas(deltas, boxes, weights=(1.0, 1.0, 1.0, 1.0),
+                 scale_clamp: float = math.log(1000.0 / 16)):
+    """Box2BoxTransform.apply_deltas: deltas (..., 4) onto XYXY boxes."""
+    wx, wy, ww, wh = weights
+    widths = boxes[..., 2] - boxes[..., 0]
+    heights = boxes[..., 3] - boxes[..., 1]
+    ctr_x = boxes[..., 0] + 0.5 * widths
+    ctr_y = boxes[..., 1] + 0.5 * heights
+
+    dx = deltas[..., 0] / wx
+    dy = deltas[..., 1] / wy
+    dw = jnp.minimum(deltas[..., 2] / ww, scale_clamp)
+    dh = jnp.minimum(deltas[..., 3] / wh, scale_clamp)
+
+    pred_ctr_x = dx * widths + ctr_x
+    pred_ctr_y = dy * heights + ctr_y
+    pred_w = jnp.exp(dw) * widths
+    pred_h = jnp.exp(dh) * heights
+    return jnp.stack([
+        pred_ctr_x - 0.5 * pred_w,
+        pred_ctr_y - 0.5 * pred_h,
+        pred_ctr_x + 0.5 * pred_w,
+        pred_ctr_y + 0.5 * pred_h,
+    ], axis=-1)
+
+
+def clip_boxes(boxes, img_h: float, img_w: float):
+    return jnp.stack([
+        jnp.clip(boxes[..., 0], 0, img_w),
+        jnp.clip(boxes[..., 1], 0, img_h),
+        jnp.clip(boxes[..., 2], 0, img_w),
+        jnp.clip(boxes[..., 3], 0, img_h),
+    ], axis=-1)
+
+
+def box_area(boxes):
+    return jnp.maximum(boxes[..., 2] - boxes[..., 0], 0) * \
+        jnp.maximum(boxes[..., 3] - boxes[..., 1], 0)
+
+
+def pairwise_iou(a, b):
+    """(N, 4) x (M, 4) -> (N, M) IoU."""
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = box_area(a)[:, None] + box_area(b)[None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def nms_fixed(boxes, scores, iou_threshold: float):
+    """Greedy NMS with static shapes.
+
+    Returns scores with suppressed entries set to -inf (same order as the
+    inputs).  Sequential over the score-sorted list via fori_loop; the IoU
+    matrix is computed once (N^2, VPU-friendly).
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    valid = jnp.isfinite(scores[order])
+    iou = pairwise_iou(b, b)
+    idx = jnp.arange(n)
+
+    def body(i, keep):
+        sup = (iou[i] > iou_threshold) & (idx > i) & keep[i]
+        return keep & jnp.logical_not(sup)
+
+    keep_sorted = jax.lax.fori_loop(0, n, body, valid)
+    keep = jnp.zeros(n, bool).at[order].set(keep_sorted)
+    return jnp.where(keep, scores, -jnp.inf)
+
+
+def batched_nms(boxes, scores, idxs, iou_threshold: float):
+    """Category-aware NMS via the coordinate-offset trick (torchvision
+    semantics: boxes of different idxs never suppress each other)."""
+    max_coord = jnp.max(jnp.where(jnp.isfinite(scores)[:, None], boxes, 0.0))
+    offsets = idxs.astype(boxes.dtype) * (max_coord + 1.0)
+    shifted = boxes + offsets[:, None]
+    return nms_fixed(shifted, scores, iou_threshold)
+
+
+def top_k_static(scores, k: int):
+    """(values, indices) of the k best scores (padded with -inf upstream)."""
+    return jax.lax.top_k(scores, k)
+
+
+# ----------------------------------------------------------------------
+# Anchor generation (DefaultAnchorGenerator, offset 0)
+# ----------------------------------------------------------------------
+
+def generate_cell_anchors(sizes: Sequence[float],
+                          aspect_ratios: Sequence[float]) -> np.ndarray:
+    """(A, 4) XYXY anchors centred at (0, 0) — d2 convention."""
+    anchors = []
+    for size in sizes:
+        area = size ** 2
+        for ar in aspect_ratios:
+            w = math.sqrt(area / ar)
+            h = ar * w
+            anchors.append([-w / 2.0, -h / 2.0, w / 2.0, h / 2.0])
+    return np.asarray(anchors, np.float32)
+
+
+def anchors_for_level(feat_h: int, feat_w: int, stride: int,
+                      cell_anchors: np.ndarray, offset: float = 0.0
+                      ) -> np.ndarray:
+    """(H*W*A, 4) anchors for one pyramid level (host-side, trace-time)."""
+    shift_x = (np.arange(feat_w) + offset) * stride
+    shift_y = (np.arange(feat_h) + offset) * stride
+    sx, sy = np.meshgrid(shift_x, shift_y)
+    shifts = np.stack([sx.ravel(), sy.ravel(),
+                       sx.ravel(), sy.ravel()], axis=1)  # (HW, 4)
+    all_anchors = shifts[:, None, :] + cell_anchors[None, :, :]
+    return all_anchors.reshape(-1, 4).astype(np.float32)

@@ -1,0 +1,200 @@
+"""Mask R-CNN (GeneralizedRCNN) in JAX — static shapes end to end.
+
+Architecture parity with the reference's detectron2 model
+(/root/reference/nav/agent/utils/COCO-InstSeg/mask_rcnn_R_101_cat9.yaml):
+ResNet-101 caffe-style (stride_in_1x1, FrozenBN) + FPN(256) + standard RPN +
+StandardROIHeads (2-fc box head, 4-conv mask head), 9 classes.
+
+TPU-first differences from the CUDA implementation:
+  * every stage is fixed-size — candidate sets are score-padded with -inf
+    instead of dynamically filtered, NMS returns suppression masks;
+  * ROIAlign is one batched bilinear gather over a stacked pyramid buffer
+    (see roi_align.py) instead of per-level CUDA kernels;
+  * the whole detect() pipeline is one jit program per input geometry.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .boxes import (anchors_for_level, apply_deltas, batched_nms,
+                    clip_boxes, generate_cell_anchors, nms_fixed)
+from .layers import Conv2d
+from .fpn import FPN
+from .resnet import ResNet
+from .roi_align import multilevel_roi_align
+
+PIXEL_MEAN_BGR = np.array([103.53, 116.28, 123.675], np.float32)
+FPN_STRIDES = (4, 8, 16, 32, 64)
+ANCHOR_SIZES = ((32,), (64,), (128,), (256,), (512,))
+ASPECT_RATIOS = (0.5, 1.0, 2.0)
+RPN_NMS_THRESH = 0.7
+RPN_PRE_NMS_TOPK = 1000
+RPN_POST_NMS_TOPK = 1000
+ROI_NMS_THRESH = 0.5
+DETECTIONS_PER_IMAGE = 100
+BOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+
+
+class RPNHead(nn.Module):
+    num_anchors: int = 3
+
+    @nn.compact
+    def __call__(self, feats):
+        conv = Conv2d(256, 3, padding=1, use_bias=True, name="conv")
+        obj = Conv2d(self.num_anchors, 1, use_bias=True, name="objectness")
+        deltas = Conv2d(self.num_anchors * 4, 1, use_bias=True, name="deltas")
+        outs = []
+        for f in feats:
+            t = nn.relu(conv(f))
+            outs.append((obj(t), deltas(t)))
+        return outs
+
+
+class BoxHead(nn.Module):
+    """FastRCNNConvFCHead: 0 convs, 2 fc of 1024."""
+
+    @nn.compact
+    def __call__(self, x):  # (N, 7, 7, C)
+        n = x.shape[0]
+        # match torch flatten order (C, H, W)
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, -1)
+        x = nn.relu(nn.Dense(1024, name="fc1")(x))
+        x = nn.relu(nn.Dense(1024, name="fc2")(x))
+        return x
+
+
+class BoxPredictor(nn.Module):
+    num_classes: int = 9
+
+    @nn.compact
+    def __call__(self, x):
+        scores = nn.Dense(self.num_classes + 1, name="cls_score")(x)
+        deltas = nn.Dense(self.num_classes * 4, name="bbox_pred")(x)
+        return scores, deltas
+
+
+class MaskHead(nn.Module):
+    """MaskRCNNConvUpsampleHead: 4 convs 256 + 2x deconv + 1x1 predictor."""
+    num_classes: int = 9
+
+    @nn.compact
+    def __call__(self, x):  # (N, 14, 14, C)
+        for i in range(1, 5):
+            x = nn.relu(Conv2d(256, 3, padding=1, use_bias=True,
+                               name=f"mask_fcn{i}")(x))
+        x = nn.relu(nn.ConvTranspose(256, (2, 2), strides=(2, 2),
+                                     name="deconv")(x))
+        return Conv2d(self.num_classes, 1, use_bias=True, name="predictor")(x)
+
+
+class MaskRCNN(nn.Module):
+    num_classes: int = 9
+    depth: int = 101
+    score_thresh: float = 0.05
+
+    def setup(self):
+        self.backbone = ResNet(depth=self.depth, in_channels=3,
+                               strides=(1, 2, 2, 2), dilations=(1, 1, 1, 1),
+                               out_indices=(0, 1, 2, 3), style="caffe",
+                               norm_eval=True, name="backbone")
+        self.fpn = FPN(out_channels=256, name="fpn")
+        self.rpn_head = RPNHead(name="rpn_head")
+        self.box_head = BoxHead(name="box_head")
+        self.box_predictor = BoxPredictor(self.num_classes,
+                                          name="box_predictor")
+        self.mask_head = MaskHead(self.num_classes, name="mask_head")
+
+    # ------------------------------------------------------------------
+    def features(self, image):
+        """image: (H, W, 3) float32, BGR minus pixel mean, padded /32."""
+        feats = self.backbone(image[None], train=False)
+        return self.fpn(feats)  # p2..p6, batch dim 1
+
+    def proposals(self, pyramid, img_h: int, img_w: int):
+        """RPN: per-level topk -> deltas -> clip -> NMS -> global topk."""
+        rpn_outs = self.rpn_head(pyramid)
+        all_boxes, all_scores = [], []
+        for lvl, (obj, delt) in enumerate(rpn_outs):
+            stride = FPN_STRIDES[lvl]
+            cell = generate_cell_anchors(ANCHOR_SIZES[lvl], ASPECT_RATIOS)
+            h, w = obj.shape[1], obj.shape[2]
+            anchors = jnp.asarray(anchors_for_level(h, w, stride, cell))
+            scores = obj.reshape(-1)                        # (H*W*A,)
+            deltas = delt.reshape(h * w, len(ASPECT_RATIOS), 4)
+            deltas = deltas.reshape(-1, 4)
+            k = min(RPN_PRE_NMS_TOPK, scores.shape[0])
+            top_scores, idx = jax.lax.top_k(scores, k)
+            boxes = apply_deltas(deltas[idx], anchors[idx])
+            boxes = clip_boxes(boxes, img_h, img_w)
+            kept_scores = nms_fixed(boxes, top_scores, RPN_NMS_THRESH)
+            if k < RPN_PRE_NMS_TOPK:
+                pad = RPN_PRE_NMS_TOPK - k
+                boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+                kept_scores = jnp.pad(kept_scores, (0, pad),
+                                      constant_values=-jnp.inf)
+            all_boxes.append(boxes)
+            all_scores.append(kept_scores)
+        boxes = jnp.concatenate(all_boxes)
+        scores = jnp.concatenate(all_scores)
+        top_scores, idx = jax.lax.top_k(scores, RPN_POST_NMS_TOPK)
+        return boxes[idx], top_scores
+
+    def box_inference(self, pyramid, proposals, prop_scores,
+                      img_h: int, img_w: int):
+        """ROI box head + per-class NMS -> fixed 100 detections."""
+        feats = [p[0] for p in pyramid[:4]]               # p2..p5
+        pooled = multilevel_roi_align(feats, proposals, FPN_STRIDES[:4], 7)
+        x = self.box_head(pooled)
+        scores, deltas = self.box_predictor(x)
+        probs = jax.nn.softmax(scores, axis=-1)[:, :self.num_classes]
+        # invalidate padded proposals
+        valid = jnp.isfinite(prop_scores)
+        probs = jnp.where(valid[:, None], probs, 0.0)
+
+        n = proposals.shape[0]
+        deltas = deltas.reshape(n, self.num_classes, 4)
+        boxes_per_class = apply_deltas(
+            deltas, proposals[:, None, :], weights=BOX_REG_WEIGHTS)
+        boxes_per_class = clip_boxes(boxes_per_class, img_h, img_w)
+
+        flat_scores = probs.reshape(-1)                   # (N*C,)
+        flat_scores = jnp.where(flat_scores > self.score_thresh,
+                                flat_scores, -jnp.inf)
+        flat_boxes = boxes_per_class.reshape(-1, 4)
+        flat_cls = jnp.tile(jnp.arange(self.num_classes), n)
+
+        k = min(RPN_POST_NMS_TOPK, flat_scores.shape[0])
+        cand_scores, idx = jax.lax.top_k(flat_scores, k)
+        cand_boxes = flat_boxes[idx]
+        cand_cls = flat_cls[idx]
+        kept = batched_nms(cand_boxes, cand_scores, cand_cls, ROI_NMS_THRESH)
+        det_scores, didx = jax.lax.top_k(kept, DETECTIONS_PER_IMAGE)
+        return cand_boxes[didx], det_scores, cand_cls[didx]
+
+    def mask_inference(self, pyramid, det_boxes, det_classes):
+        feats = [p[0] for p in pyramid[:4]]
+        pooled = multilevel_roi_align(feats, det_boxes, FPN_STRIDES[:4], 14)
+        logits = self.mask_head(pooled)                   # (N, 28, 28, C)
+        sel = jnp.take_along_axis(
+            logits, det_classes[:, None, None, None], axis=-1)[..., 0]
+        return jax.nn.sigmoid(sel)                        # (N, 28, 28)
+
+    def detect(self, image) -> Dict[str, jnp.ndarray]:
+        """Full static pipeline on a preprocessed (H, W, 3) image."""
+        img_h, img_w = image.shape[0], image.shape[1]
+        pyramid = self.features(image)
+        proposals, prop_scores = self.proposals(pyramid, img_h, img_w)
+        boxes, scores, classes = self.box_inference(
+            pyramid, proposals, prop_scores, img_h, img_w)
+        masks = self.mask_inference(pyramid, boxes, classes)
+        return {"boxes": boxes, "scores": scores,
+                "classes": classes, "masks": masks}
+
+    def __call__(self, image):
+        return self.detect(image)

@@ -16,6 +16,9 @@ import jax  # noqa: E402
 
 # The axon TPU plugin can override JAX_PLATFORMS; force cpu explicitly.
 jax.config.update("jax_platforms", "cpu")
+# CPU XLA convs default to a reduced-precision oneDNN path; parity tests
+# need true f32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
