@@ -1,0 +1,79 @@
+"""Parallel-episode driver: N envs + the batched runtime.
+
+Steps all environments in a host thread pool while the device executes the
+batched per-tick programs; finished episodes reset in place (their device
+slots are cleared) so the batch stays full.  Throughput metric: total env
+steps per wall second across the batch (BASELINE config 5).
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..agent.batched_runtime import BatchedNavRuntime
+from ..config import NavConfig
+
+
+class BatchRunner:
+    def __init__(self, cfg: NavConfig, env_fns: List[Callable],
+                 runtime: Optional[BatchedNavRuntime] = None, **runtime_kw):
+        self.cfg = cfg
+        self.envs = [fn() for fn in env_fns]
+        self.n = len(self.envs)
+        self.runtime = runtime or BatchedNavRuntime(cfg, self.n, **runtime_kw)
+        self._pool = ThreadPoolExecutor(max_workers=min(self.n, 16))
+        self.metrics: List[Dict] = []
+        self.total_steps = 0
+
+    def reset_all(self):
+        self.obs = list(self._pool.map(lambda e: e.reset(), self.envs))
+        for i in range(self.n):
+            self.runtime.reset_env(i)
+
+    def run(self, max_ticks: int, max_episodes: Optional[int] = None):
+        """Run until max_ticks device ticks (or max_episodes finish)."""
+        self.reset_all()
+        t0 = time.perf_counter()
+        episodes_done = 0
+        for tick in range(max_ticks):
+            actions = self.runtime.act_batch(self.obs)
+
+            def step_one(i):
+                env = self.envs[i]
+                obs = env.step(actions[i])
+                if env.episode_over:
+                    m = env.get_metrics()
+                    obs = env.reset()
+                    return obs, m
+                return obs, None
+
+            results = list(self._pool.map(step_one, range(self.n)))
+            self.total_steps += self.n
+            for i, (obs, m) in enumerate(results):
+                self.obs[i] = obs
+                if m is not None:
+                    self.metrics.append(m)
+                    episodes_done += 1
+                    self.runtime.reset_env(i)
+            if max_episodes and episodes_done >= max_episodes:
+                break
+        self.wall_time = time.perf_counter() - t0
+        return self.summary()
+
+    def summary(self) -> Dict:
+        out = {
+            "env_steps": self.total_steps,
+            "wall_time_s": round(self.wall_time, 3),
+            "env_steps_per_sec": round(self.total_steps / self.wall_time, 2),
+            "episodes": len(self.metrics),
+        }
+        if self.metrics:
+            out["success"] = float(np.mean(
+                [m.get("success", 0.0) for m in self.metrics]))
+            out["spl"] = float(np.mean(
+                [m.get("spl", 0.0) for m in self.metrics]))
+        return out

@@ -1,0 +1,78 @@
+"""Batched runtime vs single-env agent: action-level parity on identical
+environments, plus the batch-runner lifecycle."""
+
+import numpy as np
+import pytest
+
+from peanut_tpu.agent import PeanutAgent
+from peanut_tpu.agent.batched_runtime import BatchedNavRuntime
+from peanut_tpu.envs import FakeNavEnv
+from peanut_tpu.envs.batch_runner import BatchRunner
+
+from test_agent_e2e import small_cfg, tiny_prediction_model
+
+
+@pytest.mark.slow
+def test_batched_matches_single_env_actions():
+    """Same envs, same seeds: the batched runtime must produce the same
+    action sequence as N independent single-env agents."""
+    cfg = small_cfg()
+    n = 3
+    seeds = [3, 11, 42]
+    steps = 25
+
+    pm = tiny_prediction_model(cfg)
+
+    # single-env rollouts
+    single_actions = []
+    for seed in seeds:
+        env = FakeNavEnv(cfg, size_m=12.0, seed=seed, max_steps=steps + 5)
+        agent = PeanutAgent(cfg, prediction_model=pm)
+        obs = env.reset()
+        agent.reset()
+        acts = []
+        for _ in range(steps):
+            a = agent.act(obs)
+            acts.append(a["action"])
+            obs = env.step(a)
+            if env.episode_over:
+                break
+        single_actions.append(acts)
+
+    # batched rollout over the same envs
+    envs = [FakeNavEnv(cfg, size_m=12.0, seed=s, max_steps=steps + 5)
+            for s in seeds]
+    runtime = BatchedNavRuntime(cfg, n, prediction_model=pm)
+    obs = [e.reset() for e in envs]
+    for i in range(n):
+        runtime.reset_env(i)
+    batched_actions = [[] for _ in range(n)]
+    done = [False] * n
+    for t in range(steps):
+        acts = runtime.act_batch(obs)
+        for i in range(n):
+            if not done[i]:
+                batched_actions[i].append(acts[i]["action"])
+                obs[i] = envs[i].step(acts[i])
+                if envs[i].episode_over:
+                    done[i] = True
+
+    for i in range(n):
+        k = min(len(single_actions[i]), len(batched_actions[i]))
+        assert batched_actions[i][:k] == single_actions[i][:k], (
+            f"env {i}: single={single_actions[i][:k]} "
+            f"batched={batched_actions[i][:k]}")
+
+
+@pytest.mark.slow
+def test_batch_runner_lifecycle():
+    cfg = small_cfg(use_gt_seg=1)
+    pm = tiny_prediction_model(cfg)
+    runner = BatchRunner(
+        cfg, [lambda s=s: FakeNavEnv(cfg, size_m=10.0, seed=s, max_steps=15)
+              for s in range(4)],
+        prediction_model=pm)
+    summary = runner.run(max_ticks=20)
+    assert summary["env_steps"] == 20 * 4
+    assert summary["episodes"] >= 4          # 15-step episodes must recycle
+    assert summary["env_steps_per_sec"] > 0
