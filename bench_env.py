@@ -1,0 +1,79 @@
+"""ObjectNav environment throughput: N parallel episodes, full models.
+
+Measures env-steps/sec of the batched runtime (BASELINE config 5) with the
+production models (PSPNet-R50 prediction net, Mask R-CNN R101-FPN
+segmentation — random weights, identical compute) over synthetic raycast
+environments at the challenge observation geometry (640x480 RGB-D).
+
+Usage: python bench_env.py [--envs 16] [--ticks 50] [--gt_seg]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=16)
+    ap.add_argument("--ticks", type=int, default=50)
+    ap.add_argument("--gt_seg", action="store_true",
+                    help="skip Mask R-CNN (ground-truth segmentation)")
+    ns = ap.parse_args()
+
+    from peanut_tpu.config import NavConfig
+    from peanut_tpu.envs import FakeNavEnv
+    from peanut_tpu.envs.batch_runner import BatchRunner
+    from peanut_tpu.prediction import PredictionModel
+
+    cfg = NavConfig(use_gt_seg=1 if ns.gt_seg else 0)
+    pm = PredictionModel(cfg)  # full PSPNet-R50 at 720^2 (random weights)
+
+    segmenter = None
+    if not ns.gt_seg:
+        from peanut_tpu.perception.mask_rcnn_segmenter import MaskRCNNSegmenter
+        from peanut_tpu.models.mask_rcnn import MaskRCNN
+        from peanut_tpu.models import init_segmentor_params  # noqa
+        import jax
+
+        model = MaskRCNN(num_classes=cfg.num_sem_categories - 1)
+        import jax.numpy as jnp
+        img = jnp.zeros((800, 1088, 3), jnp.float32)
+        variables = jax.jit(
+            lambda r, x: model.init(r, x, method=model.detect))(
+            jax.random.PRNGKey(0), img)
+        segmenter = MaskRCNNSegmenter(cfg, variables=variables)
+
+    runner = BatchRunner(
+        cfg,
+        [lambda s=s: FakeNavEnv(cfg, size_m=14.0, seed=s) for s in
+         range(ns.envs)],
+        prediction_model=pm, segmenter=segmenter)
+
+    # warmup (compile all tick programs)
+    runner.reset_all()
+    for _ in range(3):
+        acts = runner.runtime.act_batch(runner.obs)
+        runner.obs = [runner.envs[i].step(acts[i]) for i in range(ns.envs)]
+
+    t0 = time.perf_counter()
+    for _ in range(ns.ticks):
+        acts = runner.runtime.act_batch(runner.obs)
+        runner.obs = [runner.envs[i].step(acts[i]) for i in range(ns.envs)]
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = ns.envs * ns.ticks / dt
+    print(json.dumps({
+        "metric": "objectnav_env_steps_per_sec",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "envs": ns.envs,
+        "seg": "gt" if ns.gt_seg else "mask_rcnn_r101",
+        "ms_per_tick": round(1000 * dt / ns.ticks, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

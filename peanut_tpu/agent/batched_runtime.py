@@ -312,7 +312,7 @@ class BatchedNavRuntime:
         obs_batch = np.zeros((n, self.nc, cfg.frame_height, cfg.frame_width),
                              np.float32)
 
-        def prep(i):
+        def prep_pose(i):
             s = self.slots[i]
             o = observations[i]
             s.timestep += 1
@@ -331,10 +331,28 @@ class BatchedNavRuntime:
                 dx, dy, do = get_rel_pose_change(cur, s.last_sim_location)
                 pose_deltas[i] = [dx, dy, do]
             s.last_sim_location = cur
-            if cfg.use_gt_seg and hasattr(self.segmenter, "goalseg"):
-                self.segmenter.goalseg = o.get("goalseg")
-            sem = self.segmenter(np.asarray(o["rgb"], np.uint8),
-                                 depth=o["depth"], goal_cat=int(goal_cats[i]))
+
+        list(self._pool.map(prep_pose, range(n)))
+
+        # segmentation: one batched device program when the backend supports
+        # it (Mask R-CNN), else per-env calls
+        if hasattr(self.segmenter, "batch"):
+            sems = self.segmenter.batch(
+                [np.asarray(observations[i]["rgb"], np.uint8)
+                 for i in range(n)], [int(g) for g in goal_cats])
+        else:
+            def seg_one(i):
+                o = observations[i]
+                if cfg.use_gt_seg and hasattr(self.segmenter, "goalseg"):
+                    self.segmenter.goalseg = o.get("goalseg")
+                return self.segmenter(np.asarray(o["rgb"], np.uint8),
+                                      depth=o["depth"],
+                                      goal_cat=int(goal_cats[i]))
+            sems = [seg_one(i) for i in range(n)]
+
+        def assemble(i):
+            o = observations[i]
+            sem = sems[i]
             depth_cm = preprocess_depth(np.asarray(o["depth"]),
                                         cfg.min_depth, cfg.max_depth)
             ds = cfg.env_frame_width // cfg.frame_width
@@ -347,7 +365,7 @@ class BatchedNavRuntime:
                 [rgb.astype(np.float32), depth_cm[:, :, None], sem],
                 axis=2).transpose(2, 0, 1)
 
-        list(self._pool.map(prep, range(n)))
+        list(self._pool.map(assemble, range(n)))
 
         goal_cells = np.array([s.global_goal for s in self.slots], np.int32)
 

@@ -57,23 +57,48 @@ class MaskRCNNSegmenter:
         def _detect(variables, img):
             return self.model.apply(variables, img, method=self.model.detect)
 
+        @jax.jit
+        def _detect_batch(variables, imgs):
+            return jax.vmap(
+                lambda im: self.model.apply(variables, im,
+                                            method=self.model.detect))(imgs)
+
         self._detect = _detect
+        self._detect_batch = _detect_batch
         self._jnp = jnp
 
-    def __call__(self, rgb: np.ndarray, depth=None,
-                 goal_cat: Optional[int] = None) -> np.ndarray:
+    def _preprocess(self, rgb: np.ndarray) -> np.ndarray:
         import cv2
 
-        cfg = self.cfg
-        h, w = rgb.shape[:2]
         bgr = rgb[:, :, ::-1].astype(np.float32)
         resized = cv2.resize(bgr, (self.rw, self.rh),
                              interpolation=cv2.INTER_LINEAR)
         img = resized - PIXEL_MEAN_BGR
-        img = np.pad(img, ((0, self.ph - self.rh),
-                           (0, self.pw - self.rw), (0, 0)))
+        return np.pad(img, ((0, self.ph - self.rh),
+                            (0, self.pw - self.rw), (0, 0)))
 
-        det = self._detect(self.variables, self._jnp.asarray(img))
+    def __call__(self, rgb: np.ndarray, depth=None,
+                 goal_cat: Optional[int] = None) -> np.ndarray:
+        det = self._detect(self.variables,
+                           self._jnp.asarray(self._preprocess(rgb)))
+        return self._postprocess(rgb.shape[:2], det, goal_cat)
+
+    def batch(self, rgbs, goal_cats) -> list:
+        """Segment a batch of frames with ONE device program (the
+        parallel-episode runtime path)."""
+        imgs = np.stack([self._preprocess(r) for r in rgbs])
+        dets = self._detect_batch(self.variables, self._jnp.asarray(imgs))
+        out = []
+        for i, rgb in enumerate(rgbs):
+            det = {k: v[i] for k, v in dets.items()}
+            out.append(self._postprocess(rgb.shape[:2], det, goal_cats[i]))
+        return out
+
+    def _postprocess(self, hw, det, goal_cat: Optional[int]) -> np.ndarray:
+        import cv2
+
+        cfg = self.cfg
+        h, w = hw
         boxes = np.asarray(det["boxes"])
         scores = np.asarray(det["scores"])
         classes = np.asarray(det["classes"])
