@@ -1,0 +1,9 @@
+# DeepLabV3+ ResNetV1c-50-d8 (zoo)
+_base_ = "../_base_/models/pspnet_r50.py"
+model = dict(
+    decode_head=dict(
+        _delete_=True,
+        type="DepthwiseSeparableASPPHead", in_channels=2048, channels=512,
+        dilations=(1, 12, 24, 36), c1_in_channels=256, c1_channels=48,
+        num_classes=19, dropout_ratio=0.1, align_corners=False),
+)

@@ -485,17 +485,25 @@ class BatchedNavRuntime:
             tp[env] = window * (local_explored[env] < 0.5)
         self.target_pred = jnp.asarray(tp)
 
-        # batched geodesic weighting on the full maps (triggered subset)
-        idxs = jnp.asarray(np.asarray(trig, np.int32))
-        agent_r = jnp.asarray(np.clip(
-            [loc_r[i] + self.slots[i].lmb[0] for i in trig], 0, self.Hf - 1))
-        agent_c = jnp.asarray(np.clip(
-            [loc_c[i] + self.slots[i].lmb[2] for i in trig], 0, self.Wf - 1))
-        dd_wt_full = self._value_program(
-            full[idxs], self.collision[idxs], self.visited[idxs],
-            agent_r, agent_c)
-
-        dd_np = np.asarray(dd_wt_full)
+        # batched geodesic weighting on the full maps (triggered subset,
+        # padded to the fixed chunk size so program shapes never vary)
+        dd_chunks = []
+        for start in range(0, len(trig), self.predict_chunk):
+            chunk = trig[start:start + self.predict_chunk]
+            pad = self.predict_chunk - len(chunk)
+            cidx = chunk + [chunk[-1]] * pad
+            idxs = jnp.asarray(np.asarray(cidx, np.int32))
+            agent_r = jnp.asarray(np.clip(
+                [loc_r[i] + self.slots[i].lmb[0] for i in cidx],
+                0, self.Hf - 1))
+            agent_c = jnp.asarray(np.clip(
+                [loc_c[i] + self.slots[i].lmb[2] for i in cidx],
+                0, self.Wf - 1))
+            out = self._value_program(
+                full[idxs], self.collision[idxs], self.visited[idxs],
+                agent_r, agent_c)
+            dd_chunks.append(np.asarray(out)[:len(chunk)])
+        dd_np = np.concatenate(dd_chunks, axis=0)
         dd_wt_all = np.array(self.dd_wt)
         tp_all = np.asarray(self.target_pred)
         for j, env in enumerate(trig):

@@ -11,7 +11,12 @@ from . import layers  # noqa: F401
 from . import resnet  # noqa: F401
 from . import heads  # noqa: F401
 from . import losses  # noqa: F401
+from . import losses_extra  # noqa: F401
 from . import encoder_decoder  # noqa: F401
+from . import fpn  # noqa: F401
+from . import mobilenet  # noqa: F401
+from . import mit  # noqa: F401
+from . import unet  # noqa: F401
 from .builder import build_segmentor, init_segmentor_params
 from .encoder_decoder import EncoderDecoder
 from .ops import resize_bilinear, adaptive_avg_pool

@@ -28,11 +28,17 @@ GOAL_CHANNELS = slice(4, 4 + NUM_TARGET_CATEGORIES)
 NUM_INPUT_TIMESTEPS = 10
 
 
-def load_map_sample(path: str, t_idx: int) -> Dict[str, np.ndarray]:
+def load_map_sample(path: str, t_idx: int, maps=None) -> Dict[str, np.ndarray]:
     """LoadMapFromFile semantics (train_prediction_model.py:47-91)."""
-    maps = np.load(path)
-    if path.endswith("z"):
-        maps = maps["maps"]
+    if maps is None:
+        maps = np.load(path)
+        if path.endswith("z"):
+            maps = maps["maps"]
+    from . import native
+    nat = native.extract_timestep(maps, t_idx) if native.available() else None
+    if nat is not None:
+        img, gt = nat
+        return {"img": img, "gt": gt}
     img = maps[t_idx].transpose(1, 2, 0).astype(np.float32) / 255.0  # HWC
     explored = img[:, :, 1] > 0
     gt = (maps[-1, GOAL_CHANNELS] * (1 - explored)).transpose(1, 2, 0)
@@ -41,10 +47,15 @@ def load_map_sample(path: str, t_idx: int) -> Dict[str, np.ndarray]:
 
 @DATASETS.register()
 class SemMapDataset:
-    """Index over (file, t_idx) pairs; 10 samples per episode file."""
+    """Index over (file, t_idx) pairs; 10 samples per episode file.
+
+    A small LRU cache keeps the most recent decompressed episode arrays —
+    the reference re-inflates the full 258MB npz member for every sample;
+    grouped access amortises that 10x.
+    """
 
     def __init__(self, data_root: str, img_dir: str = "train",
-                 pipeline=None, **unused):
+                 pipeline=None, decode_cache: int = 4, **unused):
         self.dir = os.path.join(data_root, img_dir)
         self.pipeline = pipeline
         files = sorted(f for f in os.listdir(self.dir)
@@ -54,13 +65,32 @@ class SemMapDataset:
             for f in files for t in range(NUM_INPUT_TIMESTEPS)]
         if not self.samples:
             raise FileNotFoundError(f"no map files under {self.dir}")
+        from collections import OrderedDict
+        self._cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._cache_size = decode_cache
+        import threading
+        self._cache_lock = threading.Lock()
 
     def __len__(self):
         return len(self.samples)
 
+    def _load_maps(self, path: str) -> np.ndarray:
+        with self._cache_lock:
+            if path in self._cache:
+                self._cache.move_to_end(path)
+                return self._cache[path]
+        maps = np.load(path)
+        if path.endswith("z"):
+            maps = maps["maps"]
+        with self._cache_lock:
+            self._cache[path] = maps
+            while len(self._cache) > self._cache_size:
+                self._cache.popitem(last=False)
+        return maps
+
     def __getitem__(self, i) -> Dict[str, np.ndarray]:
         path, t_idx = self.samples[i]
-        sample = load_map_sample(path, t_idx)
+        sample = load_map_sample(path, t_idx, maps=self._load_maps(path))
         if self.pipeline is not None:
             sample = self.pipeline(sample)
         return sample
@@ -152,8 +182,42 @@ class Compose:
         return s
 
 
-def training_pipeline(map_size: int = 960, rng=None) -> Compose:
+class FusedAugment:
+    """Native (C++/OpenMP) fusion of Pad -> RandomCrop -> RandomFlip ->
+    RandomRotate into one inverse-mapped resampling pass.  Draws random
+    numbers in exactly the same order as the python chain so seeded runs
+    agree; returns None-equivalent fallback handled by training_pipeline."""
+
+    def __init__(self, map_size: int, rng=None):
+        self.map_size = map_size
+        self.pad = int(map_size * 1.25)
+        self.rng = rng or np.random
+
+    def __call__(self, s):
+        from . import native
+
+        h, w = s["img"].shape[:2]
+        ph, pw = max(self.pad, h), max(self.pad, w)
+        crop_y = self.rng.randint(0, max(ph - self.map_size, 0) + 1)
+        crop_x = self.rng.randint(0, max(pw - self.map_size, 0) + 1)
+        flip = self.rng.rand() < 0.5
+        do_rot = self.rng.rand() < 1.0  # prob=1.0 in the recipe
+        angle = self.rng.uniform(-180.0, 180.0) if do_rot else 0.0
+        out = native.augment_sample(s["img"], s["gt"], self.map_size,
+                                    crop_y, crop_x, flip, angle)
+        if out is None:
+            raise RuntimeError("native pipeline unavailable")
+        s["img"], s["gt"] = out
+        return s
+
+
+def training_pipeline(map_size: int = 960, rng=None,
+                      use_native: bool = True) -> Compose:
     """The reference training recipe (pred_model_cfg.py:47-56)."""
+    from . import native
+
+    if use_native and native.available():
+        return Compose([FusedAugment(map_size, rng=rng)])
     return Compose([
         Pad((int(map_size * 1.25), int(map_size * 1.25))),
         RandomCrop((map_size, map_size), rng=rng),
