@@ -1,21 +1,25 @@
-"""Parallel-episode runtime: N agents, one device program set per tick.
+"""Parallel-episode runtime: N agents, ONE device program per tick.
 
 This is the framework's flagship throughput path (BASELINE config 5) and has
 no reference counterpart — the reference steps ONE habitat env per process
 (SURVEY.md §2.3).  Architecture:
 
-  * all maps (local/full/collision/visited/target-pred) are device-resident
-    (B, ...) arrays; per tick the host receives only poses, flags and an
-    11x11 planning window per episode;
-  * mapping, morphology, goal-map construction, geodesic planning and
-    target prediction each run as ONE batched jit program over all episodes;
-  * the episodic state machines (collision streaks, untrap, goal
-    bookkeeping, action rules) stay host-side per-env scalars, reusing the
-    reference-parity logic of the single-env agent;
-  * env stepping runs in a host thread pool, overlapped with device compute.
-
-Rare control paths (replan-with-erosion, goal magnification) fall back to
-per-env host solves, exactly preserving single-env semantics.
+  * the whole per-tick pipeline — observation assembly, point scatters,
+    mapping, window shuttling, target prediction + geodesic value weighting
+    (trigger ticks), found-goal extraction, traversibility and the batched
+    geodesic planning solve — is ONE jit program (two variants: with /
+    without the prediction branch), so each tick costs one dispatch + one
+    packed download regardless of batch size;
+  * observations upload as uint8 (rgb+semantics) + f32 depth and expand on
+    device — 3x less host->device traffic;
+  * pose integration runs HOST-side (numpy f32 twin shared with the
+    single-env agent), so the host state machines and the device programs
+    agree on agent cells by construction; lmb windows, collision points and
+    visited-line cells are host-computed from those poses and passed in;
+  * all maps are device-resident state arrays threaded functionally through
+    the fused program (donated buffers);
+  * rare control paths (replan-with-erosion, goal magnification) fall back
+    to focused device/host solves with identical semantics.
 """
 
 from __future__ import annotations
@@ -23,7 +27,8 @@ from __future__ import annotations
 import math
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from functools import partial
+from typing import Dict, List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -31,16 +36,34 @@ import numpy as np
 
 from ..config import NavConfig
 from ..constants import hm3d_names, hm3d_to_coco
-from ..geometry.pose import get_rel_pose_change, get_l2_distance, \
-    threshold_poses
+from ..geometry.pose import (get_rel_pose_change, get_l2_distance,
+                             integrate_pose_np, threshold_poses)
+from ..kernels import eikonal_distance, masked_fill_unreachable
 from ..kernels.morphology import disk, np_binary_dilation, np_binary_erosion
 from ..mapping import SemanticMapper
 from ..perception import preprocess_depth, build_segmenter
 from ..planning import FMMPlanner, UnTrapHelper
 from ..planning.fmm_planner import step_mask, step_dist
 from ..prediction import PredictionModel
-from ..utils.drawing import draw_line
 from . import batched_ops as B
+
+CROSS = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], np.uint8)
+N_LINE_PTS = 104   # 26 samples x 2x2 squares
+N_COL_PTS = 8
+
+
+class DeviceState(NamedTuple):
+    """All device-resident per-episode arrays (threaded functionally)."""
+    local_maps: jnp.ndarray    # (B, nc, Hl, Wl)
+    full_maps: jnp.ndarray     # (B, nc, Hf, Wf)
+    collision: jnp.ndarray     # (B, Hf, Wf)
+    visited: jnp.ndarray       # (B, Hf, Wf)
+    target_pred: jnp.ndarray   # (B, Hl, Wl)
+    dd_wt: jnp.ndarray         # (B, Hl, Wl)
+    dd_valid: jnp.ndarray      # (B,) bool
+    cur_goal: jnp.ndarray      # (B, 2) int32
+    last_goal: jnp.ndarray     # (B, 2) int32
+    last_goal_valid: jnp.ndarray  # (B,) bool
 
 
 @dataclass
@@ -49,12 +72,9 @@ class EnvSlot:
     step: int = 0
     l_step: int = 0
     timestep: int = 0
-    goal_cat: int = -1
     goal_name: str = ""
     found_goal: int = 0
     dist_to_goal: float = 1e9
-    global_goal: List[int] = field(default_factory=lambda: [0, 0])
-    last_global_goal: Optional[List[int]] = None
     preset_id: int = 0
     origins: np.ndarray = field(default_factory=lambda: np.zeros(3))
     lmb: np.ndarray = field(default_factory=lambda: np.zeros(4, np.int32))
@@ -69,8 +89,6 @@ class EnvSlot:
     prev_blocked: int = 0
     forward_after_stop: int = 1
     untrap: UnTrapHelper = field(default_factory=UnTrapHelper)
-    first_obs: bool = True
-    dd_wt_valid: bool = False
 
 
 class BatchedNavRuntime:
@@ -87,7 +105,6 @@ class BatchedNavRuntime:
         if cfg.only_explore == 0 and prediction_model is None:
             prediction_model = PredictionModel(cfg)
         self.pred_model = prediction_model if cfg.only_explore == 0 else None
-        self.predict_chunk = min(predict_chunk, num_envs)
 
         self.nc = cfg.num_map_channels
         self.Hf = self.Wf = cfg.map_size
@@ -97,151 +114,270 @@ class BatchedNavRuntime:
         self.edge_buffer = 10 if cfg.num_sem_categories <= 16 else 40
 
         self.slots = [EnvSlot() for _ in range(num_envs)]
-        self._alloc_device_state()
-        self._build_programs()
+        # host shadows of device goal state (for triggers / stamping inputs)
+        self.goal_shadow = np.zeros((num_envs, 2), np.int32)
+        self.local_poses = np.zeros((num_envs, 3), np.float32)
+
+        self.state = self._alloc_state()
+        self._build_program()
         self._pool = ThreadPoolExecutor(max_workers=min(num_envs, 16))
+        # pending point-scatter buffers (computed host-side each tick)
+        self._clear_pending()
 
     # ------------------------------------------------------------------
-    def _alloc_device_state(self):
+    def _alloc_state(self) -> DeviceState:
         n, nc = self.n, self.nc
-        self.local_maps = jnp.zeros((n, nc, self.Hl, self.Wl), jnp.float32)
-        self.full_maps = jnp.zeros((n, nc, self.Hf, self.Wf), jnp.float32)
-        self.local_poses = jnp.zeros((n, 3), jnp.float32)
-        self.collision = jnp.zeros((n, self.Hf, self.Wf), jnp.float32)
-        self.visited = jnp.zeros((n, self.Hf, self.Wf), jnp.float32)
-        self.target_pred = jnp.zeros((n, self.Hl, self.Wl), jnp.float32)
-        self.dd_wt = jnp.zeros((n, self.Hl, self.Wl), jnp.float32)
-        self.goal_maps = jnp.zeros((n, self.Hl, self.Wl), jnp.float32)
+        return DeviceState(
+            local_maps=jnp.zeros((n, nc, self.Hl, self.Wl), jnp.float32),
+            full_maps=jnp.zeros((n, nc, self.Hf, self.Wf), jnp.float32),
+            collision=jnp.zeros((n, self.Hf, self.Wf), jnp.float32),
+            visited=jnp.zeros((n, self.Hf, self.Wf), jnp.float32),
+            target_pred=jnp.zeros((n, self.Hl, self.Wl), jnp.float32),
+            dd_wt=jnp.zeros((n, self.Hl, self.Wl), jnp.float32),
+            dd_valid=jnp.zeros((n,), bool),
+            cur_goal=jnp.zeros((n, 2), jnp.int32),
+            last_goal=jnp.full((n, 2), -1, jnp.int32),
+            last_goal_valid=jnp.zeros((n,), bool),
+        )
+
+    def _clear_pending(self):
+        n = self.n
+        self._line_pts = np.zeros((n, N_LINE_PTS, 2), np.int32)
+        self._line_valid = np.zeros((n, N_LINE_PTS), bool)
+        self._col_pts = np.zeros((n, N_COL_PTS, 2), np.int32)
+        self._col_valid = np.zeros((n, N_COL_PTS), bool)
 
     # ------------------------------------------------------------------
-    def _build_programs(self):
+    def _build_program(self):
         cfg = self.cfg
         res = cfg.map_resolution
         sel_r = np.asarray(self.selem_idx[0], np.int32)
         sel_c = np.asarray(self.selem_idx[1], np.int32)
         off = int(cfg.col_rad + 1)
-        traj_rad = 2
+        pw = cfg.prediction_window
+        px1 = self.Hf // 2 - pw // 2
+        py1 = self.Wf // 2 - pw // 2
+        temperature = cfg.dist_weight_temperature / cfg.map_resolution
+        pred_infer = None
+        if self.pred_model is not None:
+            model = self.pred_model.model
+            pred_vars = self.pred_model.variables
 
-        @jax.jit
-        def tick_map(obs, pose_delta, local_maps, local_poses, goal_cells):
-            _, maps, poses = self.mapper._update(obs, pose_delta, local_maps,
-                                                 local_poses)
-            loc_r = (poses[:, 1] * 100.0 / res).astype(jnp.int32)
-            loc_c = (poses[:, 0] * 100.0 / res).astype(jnp.int32)
-            # clear current-location channel, stamp trajectory + location
-            maps = maps.at[:, 2].set(0.0)
-            maps = B.mark_agent(maps, loc_r, loc_c, traj_rad, (2, 3))
-            maps = B.fill_disk(maps, 1, loc_r, loc_c, sel_r, sel_c, off)
+            def pred_infer(crop_chw):
+                nhwc = jnp.transpose(crop_chw, (0, 2, 3, 1))
+                logits = model.apply(pred_vars, nhwc, method=model.inference)
+                return jax.nn.sigmoid(jnp.transpose(logits, (0, 3, 1, 2)))
+
+        def scatter_pts(grid, pts, valid):
+            h, w = grid.shape[1], grid.shape[2]
+            rows = jnp.clip(pts[..., 0], 0, h - 1)
+            cols = jnp.clip(pts[..., 1], 0, w - 1)
+            return jax.vmap(lambda g, r, c, v: g.at[r, c].max(
+                v.astype(g.dtype)))(grid, rows, cols, valid)
+
+        # host_pack layout (one f32 upload for all per-tick scalars):
+        #   [0:3] pose (pre-rebase, mapper frame) | [3:7] lmb_old
+        #   [7:11] lmb_new | [11] goal_cat | [12] no_erode | [13] is_toilet
+        #   [14] trig | [15:17] preset_cells | [17] preset_override
+        #   [18] erode_first | [19:21] planner start cells (pose_inputs
+        #   convention, reference agent_helper.py:267-269) | [21:23] agent
+        #   cell in the NEW window (post-rebase, for the value solve)
+        #   [23:231] line_pts (104 x 2) | [231:335] line_valid
+        #   [335:351] col_pts (8 x 2) | [351:359] col_valid
+        PACK = 359
+
+        def unpack(hp):
+            poses = hp[:, 0:3]
+            lmb_old = hp[:, 3:7].astype(jnp.int32)
+            lmb_new = hp[:, 7:11].astype(jnp.int32)
+            goal_cats = hp[:, 11].astype(jnp.int32)
+            no_erode = hp[:, 12] > 0.5
+            is_toilet = hp[:, 13] > 0.5
+            trig = hp[:, 14] > 0.5
+            preset_cells = hp[:, 15:17].astype(jnp.int32)
+            preset_override = hp[:, 17] > 0.5
+            erode_first = hp[:, 18] > 0.5
+            starts = hp[:, 19:21].astype(jnp.int32)
+            loc_new = hp[:, 21:23].astype(jnp.int32)
+            line_pts = hp[:, 23:231].astype(jnp.int32).reshape(-1, 104, 2)
+            line_valid = hp[:, 231:335] > 0.5
+            col_pts = hp[:, 335:351].astype(jnp.int32).reshape(-1, 8, 2)
+            col_valid = hp[:, 351:359] > 0.5
+            return (poses, lmb_old, lmb_new, goal_cats, no_erode,
+                    is_toilet, trig, preset_cells, preset_override,
+                    erode_first, starts, loc_new, line_pts, line_valid,
+                    col_pts, col_valid)
+
+        self.PACK = PACK
+
+        def tick(state: DeviceState, obs_u8, depth_cm, host_pack,
+                 with_prediction: bool):
+            (poses_new, lmb_old, lmb_new, goal_cats, no_erode, is_toilet,
+             trig, preset_cells, preset_override, erode_first, starts,
+             loc_new, line_pts, line_valid, col_pts, col_valid) = \
+                unpack(host_pack)
+            rgb_u8 = obs_u8[:, :3]
+            sem_u8 = obs_u8[:, 3:]
+            # --- pending point scatters (visited path / collisions) -------
+            visited = scatter_pts(state.visited, line_pts, line_valid)
+            collision = scatter_pts(state.collision, col_pts, col_valid)
+
+            # --- observation assembly + fused map update ------------------
+            obs = jnp.concatenate([
+                rgb_u8.astype(jnp.float32),
+                depth_cm[:, None, :, :],
+                sem_u8.astype(jnp.float32)], axis=1)
+            _, local_maps, _ = self.mapper.update_core(
+                obs, poses_new, state.local_maps)
+
+            loc_r = (poses_new[:, 1] * 100.0 / res).astype(jnp.int32)
+            loc_c = (poses_new[:, 0] * 100.0 / res).astype(jnp.int32)
+            local_maps = local_maps.at[:, 2].set(0.0)
+            local_maps = B.mark_agent(local_maps, loc_r, loc_c, 2, (2, 3))
+            local_maps = B.fill_disk(local_maps, 1, loc_r, loc_c,
+                                     sel_r, sel_c, off)
+            goal_in = state.cur_goal
             d2g = jnp.sqrt(
-                (loc_r - goal_cells[:, 0]) ** 2
-                + (loc_c - goal_cells[:, 1]) ** 2).astype(jnp.float32) * res
+                (loc_r - goal_in[:, 0]) ** 2
+                + (loc_c - goal_in[:, 1]) ** 2).astype(jnp.float32) * res
             near = d2g < cfg.goal_reached_dist
-            filled = B.fill_disk(maps, 1, goal_cells[:, 0], goal_cells[:, 1],
+            filled = B.fill_disk(local_maps, 1, goal_in[:, 0], goal_in[:, 1],
                                  sel_r, sel_c, off)
-            maps = jnp.where(near[:, None, None, None], filled, maps)
-            return maps, poses, loc_r, loc_c, d2g
+            local_maps = jnp.where(near[:, None, None, None], filled,
+                                   local_maps)
 
-        self._tick_map = tick_map
+            # --- window shuttling ----------------------------------------
+            full_maps = B.window_shuttle_out(state.full_maps, local_maps,
+                                             lmb_old)
+            local_maps = B.window_shuttle_in(full_maps, lmb_new,
+                                             self.Hl, self.Wl)
 
-        @jax.jit
-        def shuttle(full_maps, local_maps, lmb_old, lmb_new):
-            full = B.window_shuttle_out(full_maps, local_maps, lmb_old)
-            local = B.window_shuttle_in(full, lmb_new, self.Hl, self.Wl)
-            return full, local
+            # preset corner goals (explore mode / pre-switch_step)
+            cur_goal = jnp.where(preset_override[:, None], preset_cells,
+                                 goal_in)
+            target_pred = state.target_pred
+            dd_wt = state.dd_wt
+            dd_valid = state.dd_valid
+            last_goal = state.last_goal
+            last_goal_valid = state.last_goal_valid
 
-        self._shuttle = shuttle
+            # --- prediction + geodesic value weighting (trigger ticks) ----
+            if with_prediction and pred_infer is not None:
+                crop = jax.lax.dynamic_slice(
+                    full_maps, (0, 0, px1, py1),
+                    (full_maps.shape[0], self.nc, pw, pw))
+                probs = pred_infer(crop)                   # (B, 6, pw, pw)
+                bidx = jnp.arange(self.n)
+                chan = probs[bidx, goal_cats]              # (B, pw, pw)
+                pred_full = jnp.zeros((self.n, self.Hf, self.Wf), jnp.float32)
+                pred_full = jax.lax.dynamic_update_slice(
+                    pred_full, chan, (0, px1, py1))
+                window = B.window_shuttle_in(
+                    pred_full[:, None], lmb_new, self.Hl, self.Wl)[:, 0]
+                cand_tp = window * (local_maps[:, 1] < 0.5)
+                target_pred = jnp.where(trig[:, None, None], cand_tp,
+                                        target_pred)
 
-        @jax.jit
-        def goal_map_program(local_maps, goal_cats, goal_cells, no_erode):
-            """update_goal_map (agent/state.py): found-goal extraction."""
-            bidx = jnp.arange(local_maps.shape[0])
-            cat_maps = local_maps[bidx, goal_cats + 4]          # (B, Hl, Wl)
-            cat_bin = (cat_maps > 0).astype(jnp.float32)
-            eroded = cat_bin
-            for _ in range(cfg.goal_erode):
-                eroded = B.batch_erode(eroded, np.array(
-                    [[0, 1, 0], [1, 1, 1], [0, 1, 0]], np.uint8)).astype(
-                    jnp.float32)
-            eroded = B.batch_dilate(eroded, np.array(
-                [[0, 1, 0], [1, 1, 1], [0, 1, 0]], np.uint8)).astype(
-                jnp.float32)
-            temp = jnp.where(no_erode[:, None, None], cat_bin, eroded)
-            others = local_maps[:, 4:10].sum(axis=1) - cat_maps
-            temp = temp * (others == 0)
-            found = (cat_maps.sum(axis=(1, 2)) != 0) & \
-                (temp.sum(axis=(1, 2)) != 0)
+                # geodesic distance weighting over the full maps
+                trav = jnp.logical_not(B.batch_dilate(
+                    jnp.rint(full_maps[:, 0]), disk(cfg.col_rad)))
+                trav = trav & jnp.logical_not(collision > 0)
+                trav = trav | (visited > 0)
+                agent_r = jnp.clip(loc_new[:, 0] + lmb_new[:, 0],
+                                   0, self.Hf - 1)
+                agent_c = jnp.clip(loc_new[:, 1] + lmb_new[:, 2],
+                                   0, self.Wf - 1)
+                src = jnp.zeros_like(full_maps[:, 0])
+                src = jax.vmap(lambda s, r, c: s.at[r, c].set(1.0))(
+                    src, agent_r, agent_c)
+                dd = eikonal_distance(trav, src, n_iters=cfg.fmm_sweeps)
+                dd = masked_fill_unreachable(dd)
+                mx = jnp.max(dd, axis=(1, 2), keepdims=True)
+                dd = jnp.where(dd == mx, jnp.inf, dd)
+                dd_wt_full = jnp.exp(-dd / temperature)
+                cand_dd = B.window_shuttle_in(
+                    dd_wt_full[:, None], lmb_new, self.Hl, self.Wl)[:, 0]
+                # stuck-inside-obstacle fallback (agent_state.py:398-399)
+                reuse = (cand_dd.sum(axis=(1, 2)) < 10) & dd_valid
+                cand_dd = jnp.where(reuse[:, None, None], dd_wt, cand_dd)
+                dd_wt = jnp.where(trig[:, None, None], cand_dd, dd_wt)
+                dd_valid = dd_valid | trig
+
+                value = target_pred * dd_wt
+                flat = value.reshape(self.n, -1)
+                idx = jnp.argmax(flat, axis=1).astype(jnp.int32)
+                new_goal = jnp.stack([idx // self.Wl, idx % self.Wl], axis=1)
+                same = jnp.all(new_goal == last_goal, axis=1) & \
+                    last_goal_valid
+                take = trig & jnp.logical_not(same)
+                last_goal = jnp.where(take[:, None], cur_goal, last_goal)
+                last_goal_valid = last_goal_valid | take
+                cur_goal = jnp.where(take[:, None], new_goal, cur_goal)
+
+            # --- found-goal extraction (update_goal_map) ------------------
+            if cfg.only_explore == 0:
+                bidx = jnp.arange(self.n)
+                cat_maps = local_maps[bidx, goal_cats + 4]
+                cat_bin = (cat_maps > 0).astype(jnp.float32)
+                eroded = cat_bin
+                for _ in range(cfg.goal_erode):
+                    eroded = B.batch_erode(eroded, CROSS).astype(jnp.float32)
+                eroded = B.batch_dilate(eroded, CROSS).astype(jnp.float32)
+                temp = jnp.where(no_erode[:, None, None], cat_bin, eroded)
+                others = local_maps[:, 4:10].sum(axis=1) - cat_maps
+                temp = temp * (others == 0)
+                found = (cat_maps.sum(axis=(1, 2)) != 0) & \
+                    (temp.sum(axis=(1, 2)) != 0)
+            else:
+                temp = jnp.zeros_like(local_maps[:, 0])
+                found = jnp.zeros((self.n,), bool)
             single = jnp.zeros_like(temp)
             single = jax.vmap(
-                lambda g, rc: g.at[rc[0], rc[1]].set(1.0))(single, goal_cells)
-            goal = jnp.where(found[:, None, None], temp, single)
-            return goal, found
+                lambda g, rc: g.at[rc[0], rc[1]].set(1.0))(single, cur_goal)
+            goal_maps = jnp.where(found[:, None, None], temp, single)
 
-        self._goal_map_program = goal_map_program
-
-        @jax.jit
-        def plan_program(local_maps, collision, visited, lmb, loc_r, loc_c,
-                         goal_maps, found, is_toilet, erode_first):
-            """Traversibility + goal dilation + batched geodesic solve."""
+            # --- local planning solve ------------------------------------
             obstacle = local_maps[:, 0]
             obstacle = jnp.where(
                 erode_first[:, None, None],
-                B.batch_erode(jnp.rint(obstacle), np.array(
-                    [[0, 1, 0], [1, 1, 1], [0, 1, 0]],
-                    np.uint8)).astype(jnp.float32),
+                B.batch_erode(jnp.rint(obstacle), CROSS).astype(jnp.float32),
                 obstacle)
-            coll_w = B.window_shuttle_in(collision[:, None], lmb,
+            coll_w = B.window_shuttle_in(collision[:, None], lmb_new,
                                          self.Hl, self.Wl)[:, 0]
-            vis_w = B.window_shuttle_in(visited[:, None], lmb,
+            vis_w = B.window_shuttle_in(visited[:, None], lmb_new,
                                         self.Hl, self.Wl)[:, 0]
-            close_top = lmb[:, 0] == 0
-            close_bottom = lmb[:, 1] == self.Hf
-            close_left = lmb[:, 2] == 0
-            close_right = lmb[:, 3] == self.Wf
-            trav, _ = B.build_traversible(
-                obstacle, coll_w, vis_w, loc_r, loc_c, int(cfg.col_rad),
-                close_left, close_right, close_top, close_bottom)
-            goal_dil = B.dilate_goal(goal_maps, found, is_toilet)
-            goal_dil = goal_dil.astype(jnp.float32)
-            return B.plan_distance_fields(trav, goal_dil, loc_r, loc_c,
+            trav_l, _ = B.build_traversible(
+                obstacle, coll_w, vis_w, starts[:, 0], starts[:, 1],
+                int(cfg.col_rad),
+                lmb_new[:, 2] == 0, lmb_new[:, 3] == self.Wf,
+                lmb_new[:, 0] == 0, lmb_new[:, 1] == self.Hf)
+            goal_dil = B.dilate_goal(goal_maps, found.astype(jnp.float32),
+                                     is_toilet).astype(jnp.float32)
+            plan = B.plan_distance_fields(trav_l, goal_dil,
+                                          starts[:, 0], starts[:, 1],
                                           n_iters=cfg.fmm_sweeps)
 
-        self._plan_program = plan_program
+            new_state = DeviceState(
+                local_maps=local_maps, full_maps=full_maps,
+                collision=collision, visited=visited,
+                target_pred=target_pred, dd_wt=dd_wt, dd_valid=dd_valid,
+                cur_goal=cur_goal, last_goal=last_goal,
+                last_goal_valid=last_goal_valid)
+            # packed download: windows (121) | found | d2g | goal (2)
+            k = plan.window.shape[-1]
+            packed = jnp.concatenate([
+                plan.window.reshape(self.n, k * k),
+                found.astype(jnp.float32)[:, None],
+                d2g[:, None],
+                cur_goal.astype(jnp.float32)], axis=1)
+            return new_state, packed
 
-        @jax.jit
-        def scatter_points(grid, rows, cols, valid):
-            """Mark cells 1 in (B, H, W) grids at per-env point lists."""
-            h, w = grid.shape[1], grid.shape[2]
-            rows = jnp.clip(rows, 0, h - 1)
-            cols = jnp.clip(cols, 0, w - 1)
-
-            def one(g, r, c, v):
-                return g.at[r, c].max(v.astype(g.dtype))
-
-            return jax.vmap(one)(grid, rows, cols, valid)
-
-        self._scatter_points = scatter_points
-
-        temperature = cfg.dist_weight_temperature / cfg.map_resolution
-
-        @jax.jit
-        def value_program(full_maps, collision, visited, agent_r, agent_c):
-            """update_global_goal's geodesic weighting, batched (full map)."""
-            trav = jnp.logical_not(
-                B.batch_dilate(jnp.rint(full_maps[:, 0]), disk(cfg.col_rad)))
-            trav = trav & jnp.logical_not(collision > 0)
-            trav = trav | (visited > 0)
-            src = jnp.zeros_like(full_maps[:, 0])
-            src = jax.vmap(lambda s, r, c: s.at[r, c].set(1.0))(
-                src, agent_r, agent_c)
-            from ..kernels import eikonal_distance, masked_fill_unreachable
-            dd = eikonal_distance(trav, src, n_iters=cfg.fmm_sweeps)
-            dd = masked_fill_unreachable(dd)
-            mx = jnp.max(dd, axis=(1, 2), keepdims=True)
-            dd = jnp.where(dd == mx, jnp.inf, dd)
-            dd_wt_full = jnp.exp(-dd / temperature)
-            return dd_wt_full
-
-        self._value_program = value_program
+        self._tick_with_pred = jax.jit(partial(tick, with_prediction=True),
+                                       donate_argnums=(0,))
+        self._tick_no_pred = jax.jit(partial(tick, with_prediction=False),
+                                     donate_argnums=(0,))
+        # goal_maps needed by the rare magnify fallback
+        self._goal_dil_cache = None
 
     # ==================================================================
     # episode lifecycle
@@ -252,31 +388,37 @@ class BatchedNavRuntime:
         s.forward_after_stop = cfg.move_forward_after_stop
         s.untrap.reset(full=True)
 
-        self.full_maps = self.full_maps.at[i].set(0.0)
-        self.collision = self.collision.at[i].set(0.0)
-        self.visited = self.visited.at[i].set(0.0)
-        self.target_pred = self.target_pred.at[i].set(0.0)
-        self.dd_wt = self.dd_wt.at[i].set(0.0)
-
         center = cfg.map_size_cm / 100.0 / 2.0
-        pose = np.array([center, center, 0.0], np.float32)
         loc = int(center * 100.0 / cfg.map_resolution)
-        self.full_maps = self.full_maps.at[
-            i, 2:4, loc - 1:loc + 2, loc - 1:loc + 2].set(1.0)
-
+        pose = np.array([center, center, 0.0], np.float32)
         s.lmb = np.asarray(self._local_boundaries(loc, loc), np.int32)
         s.origins = np.array([s.lmb[2] * cfg.map_resolution / 100.0,
                               s.lmb[0] * cfg.map_resolution / 100.0, 0.0])
         s.pose_inputs[:3] = pose
         s.pose_inputs[3:] = s.lmb
-        local = jax.lax.dynamic_slice(
-            self.full_maps[i], (0, int(s.lmb[0]), int(s.lmb[2])),
-            (self.nc, self.Hl, self.Wl))
-        self.local_maps = self.local_maps.at[i].set(local)
-        self.local_poses = self.local_poses.at[i].set(
-            jnp.asarray(pose - s.origins.astype(np.float32)))
         s.curr_loc = [center, center, 0.0]
-        s.global_goal = [int(0.1 * self.Hl), int(0.1 * self.Wl)]
+        self.local_poses[i] = pose - s.origins.astype(np.float32)
+        self.goal_shadow[i] = [int(0.1 * self.Hl), int(0.1 * self.Wl)]
+
+        st = self.state
+        full = st.full_maps.at[i].set(0.0)
+        full = full.at[i, 2:4, loc - 1:loc + 2, loc - 1:loc + 2].set(1.0)
+        local = jax.lax.dynamic_slice(
+            full[i], (0, int(s.lmb[0]), int(s.lmb[2])),
+            (self.nc, self.Hl, self.Wl))
+        self.state = DeviceState(
+            local_maps=st.local_maps.at[i].set(local),
+            full_maps=full,
+            collision=st.collision.at[i].set(0.0),
+            visited=st.visited.at[i].set(0.0),
+            target_pred=st.target_pred.at[i].set(0.0),
+            dd_wt=st.dd_wt.at[i].set(0.0),
+            dd_valid=st.dd_valid.at[i].set(False),
+            cur_goal=st.cur_goal.at[i].set(
+                jnp.asarray(self.goal_shadow[i])),
+            last_goal=st.last_goal.at[i].set(-1),
+            last_goal_valid=st.last_goal_valid.at[i].set(False),
+        )
 
     def _local_boundaries(self, loc_r, loc_c):
         cfg = self.cfg
@@ -305,15 +447,11 @@ class BatchedNavRuntime:
         cfg = self.cfg
         n = self.n
 
-        # ---- host: pose deltas + goals + preprocessing -----------------
+        # ---- host: pose integration + bookkeeping ---------------------
         pose_deltas = np.zeros((n, 3), np.float32)
         goal_cats = np.zeros(n, np.int32)
         stop_now = np.zeros(n, bool)
-        obs_batch = np.zeros((n, self.nc, cfg.frame_height, cfg.frame_width),
-                             np.float32)
-
-        def prep_pose(i):
-            s = self.slots[i]
+        for i, s in enumerate(self.slots):
             o = observations[i]
             s.timestep += 1
             if s.timestep > cfg.timestep_limit:
@@ -332,119 +470,116 @@ class BatchedNavRuntime:
                 pose_deltas[i] = [dx, dy, do]
             s.last_sim_location = cur
 
-        list(self._pool.map(prep_pose, range(n)))
+        poses_new = integrate_pose_np(self.local_poses, pose_deltas)
+        loc_r = (poses_new[:, 1] * 100.0 / cfg.map_resolution).astype(int)
+        loc_c = (poses_new[:, 0] * 100.0 / cfg.map_resolution).astype(int)
+        d2g_host = np.sqrt((loc_r - self.goal_shadow[:, 0]) ** 2 +
+                           (loc_c - self.goal_shadow[:, 1]) ** 2) * \
+            cfg.map_resolution
 
-        # segmentation: one batched device program when the backend supports
-        # it (Mask R-CNN), else per-env calls
-        if hasattr(self.segmenter, "batch"):
-            sems = self.segmenter.batch(
-                [np.asarray(observations[i]["rgb"], np.uint8)
-                 for i in range(n)], [int(g) for g in goal_cats])
-        else:
-            def seg_one(i):
-                o = observations[i]
-                if cfg.use_gt_seg and hasattr(self.segmenter, "goalseg"):
-                    self.segmenter.goalseg = o.get("goalseg")
-                return self.segmenter(np.asarray(o["rgb"], np.uint8),
-                                      depth=o["depth"],
-                                      goal_cat=int(goal_cats[i]))
-            sems = [seg_one(i) for i in range(n)]
-
-        def assemble(i):
-            o = observations[i]
-            sem = sems[i]
-            depth_cm = preprocess_depth(np.asarray(o["depth"]),
-                                        cfg.min_depth, cfg.max_depth)
-            ds = cfg.env_frame_width // cfg.frame_width
-            rgb = np.asarray(o["rgb"])
-            if ds != 1:
-                rgb = rgb[ds // 2::ds, ds // 2::ds]
-                depth_cm = depth_cm[ds // 2::ds, ds // 2::ds]
-                sem = sem[ds // 2::ds, ds // 2::ds]
-            obs_batch[i] = np.concatenate(
-                [rgb.astype(np.float32), depth_cm[:, :, None], sem],
-                axis=2).transpose(2, 0, 1)
-
-        list(self._pool.map(assemble, range(n)))
-
-        goal_cells = np.array([s.global_goal for s in self.slots], np.int32)
-
-        # ---- device: fused mapping tick -------------------------------
-        self.local_maps, self.local_poses, loc_r_d, loc_c_d, d2g = \
-            self._tick_map(jnp.asarray(obs_batch), jnp.asarray(pose_deltas),
-                           self.local_maps, self.local_poses,
-                           jnp.asarray(goal_cells))
-        local_poses = np.array(self.local_poses)
-        loc_r = np.array(loc_r_d)
-        loc_c = np.array(loc_c_d)
-        d2g = np.asarray(d2g)
-
-        # ---- host: bookkeeping + window shuttling ---------------------
+        # window shuttling + preset decisions (host mirrors of the device)
         lmb_old = np.stack([s.lmb for s in self.slots])
         lmb_new = lmb_old.copy()
+        preset_cells = np.zeros((n, 2), np.int32)
+        preset_override = np.zeros(n, bool)
+        trig = np.zeros(n, bool)
         for i, s in enumerate(self.slots):
-            s.dist_to_goal = float(d2g[i])
-            s.pose_inputs[:3] = local_poses[i] + s.origins
+            s.dist_to_goal = float(d2g_host[i])
+            s.pose_inputs[:3] = poses_new[i] + s.origins
             if s.l_step == cfg.num_local_steps - 1:
-                full_pose = local_poses[i] + s.origins.astype(np.float32)
+                full_pose = poses_new[i] + s.origins.astype(np.float32)
                 fr = int(full_pose[1] * 100.0 / cfg.map_resolution)
                 fc = int(full_pose[0] * 100.0 / cfg.map_resolution)
                 lmb_new[i] = self._local_boundaries(fr, fc)
+                if s.step < cfg.switch_step:
+                    preset = self.presets[s.preset_id]
+                    preset_cells[i] = [
+                        min(int(preset[0] * self.Hl), self.Hl - 1),
+                        min(int(preset[1] * self.Wl), self.Wl - 1)]
+                    preset_override[i] = True
+            trig[i] = ((s.step % cfg.update_goal_freq
+                        == cfg.update_goal_freq - 1
+                        or s.step == 0
+                        or s.dist_to_goal < cfg.goal_reached_dist)
+                       and s.step >= cfg.switch_step
+                       and self.pred_model is not None)
 
-        self.full_maps, self.local_maps = self._shuttle(
-            self.full_maps, self.local_maps, jnp.asarray(lmb_old),
-            jnp.asarray(lmb_new))
-
+        # re-base poses for envs that re-windowed (keep the pre-rebase copy
+        # for the mapper, which updates in the OLD window's frame)
+        poses_pre = poses_new.copy()
         for i, s in enumerate(self.slots):
             if s.l_step == cfg.num_local_steps - 1:
-                s.l_step = 0
-                full_pose = local_poses[i] + s.origins.astype(np.float32)
+                full_pose = poses_new[i] + s.origins.astype(np.float32)
                 s.lmb = lmb_new[i]
                 s.origins = np.array(
                     [s.lmb[2] * cfg.map_resolution / 100.0,
                      s.lmb[0] * cfg.map_resolution / 100.0, 0.0])
                 s.pose_inputs[3:] = s.lmb
-                lp = full_pose - s.origins.astype(np.float32)
-                local_poses[i] = lp
-                loc_r[i] = int(lp[1] * 100.0 / cfg.map_resolution)
-                loc_c[i] = int(lp[0] * 100.0 / cfg.map_resolution)
-                if s.step < cfg.switch_step:
-                    preset = self.presets[s.preset_id]
-                    s.global_goal = [
-                        min(int(preset[0] * self.Hl), self.Hl - 1),
-                        min(int(preset[1] * self.Wl), self.Wl - 1)]
-        self.local_poses = jnp.asarray(local_poses)
+                poses_new[i] = full_pose - s.origins.astype(np.float32)
+        self.local_poses = poses_new
+        loc_r = (poses_new[:, 1] * 100.0 / cfg.map_resolution).astype(int)
+        loc_c = (poses_new[:, 0] * 100.0 / cfg.map_resolution).astype(int)
 
-        # ---- prediction + global goal (triggered envs) ----------------
-        trig = [i for i, s in enumerate(self.slots)
-                if ((s.step % cfg.update_goal_freq == cfg.update_goal_freq - 1
-                     or s.step == 0
-                     or s.dist_to_goal < cfg.goal_reached_dist)
-                    and s.step >= cfg.switch_step
-                    and self.pred_model is not None)]
-        if trig:
-            self._update_predictions(trig, goal_cats, loc_r, loc_c)
+        # planner-frame cells, visited lines, collision points
+        starts, starts_exact = self._planner_cells(lmb_new)
+        self._collect_points(starts, lmb_new)
 
-        # ---- goal map (found-goal handling) ---------------------------
-        goal_cells = np.array([s.global_goal for s in self.slots], np.int32)
+        # ---- segmentation + obs packing -------------------------------
+        obs_u8, depth_cm = self._pack_obs(observations, goal_cats)
+
+        # ---- one packed f32 upload for every small input ---------------
         no_erode = np.array(["tv" in s.goal_name for s in self.slots])
-        if cfg.only_explore == 0:
-            self.goal_maps, found_d = self._goal_map_program(
-                self.local_maps, jnp.asarray(goal_cats),
-                jnp.asarray(goal_cells), jnp.asarray(no_erode))
-            found = np.asarray(found_d)
-        else:
-            single = np.zeros((n, self.Hl, self.Wl), np.float32)
-            for i in range(n):
-                single[i, goal_cells[i, 0], goal_cells[i, 1]] = 1.0
-            self.goal_maps = jnp.asarray(single)
-            found = np.zeros(n, bool)
+        is_toilet = np.array([s.goal_name == "toilet" for s in self.slots])
+        hp = np.zeros((n, self.PACK), np.float32)
+        hp[:, 0:3] = poses_pre
+        hp[:, 3:7] = lmb_old
+        hp[:, 7:11] = lmb_new
+        hp[:, 11] = goal_cats
+        hp[:, 12] = no_erode
+        hp[:, 13] = is_toilet
+        hp[:, 14] = trig
+        hp[:, 15:17] = preset_cells
+        hp[:, 17] = preset_override
+        hp[:, 18] = 0.0  # erode_first (replan pass only)
+        hp[:, 19:21] = starts
+        hp[:, 21] = loc_r
+        hp[:, 22] = loc_c
+        hp[:, 23:231] = self._line_pts.reshape(n, -1)
+        hp[:, 231:335] = self._line_valid
+        hp[:, 335:351] = self._col_pts.reshape(n, -1)
+        hp[:, 351:359] = self._col_valid
+
+        fn = self._tick_with_pred if trig.any() else self._tick_no_pred
+        self.state, packed = fn(self.state, jnp.asarray(obs_u8),
+                                jnp.asarray(depth_cm), jnp.asarray(hp))
+        packed = np.asarray(packed)
+        self._clear_pending()
+
+        k = 11
+        windows = packed[:, :k * k].reshape(n, k, k)
+        found = packed[:, k * k] > 0.5
+        self.goal_shadow = packed[:, k * k + 2:k * k + 4].astype(np.int32)
         for i, s in enumerate(self.slots):
             s.found_goal = int(found[i])
 
-        # ---- planner ---------------------------------------------------
-        actions = self._plan_batch(local_poses, found, stop_now)
+        # ---- host: STG extraction + rare fallbacks + action rules ------
+        self.last_windows = windows  # debug/vis introspection
+        stg_results = [self._stg_from_window(windows[i], starts_exact[i],
+                                             starts[i]) for i in range(n)]
+        replan_flags = np.array([r[4] for r in stg_results])
+        if replan_flags.any():
+            stg_results = self._replan_pass(
+                replan_flags, stg_results, starts, starts_exact, lmb_new,
+                goal_cats, no_erode, is_toilet, poses_new, trig)
+        for i in range(n):
+            s = self.slots[i]
+            if s.found_goal == 1 and \
+                    stg_results[i][2] > cfg.magnify_goal_when_hard:
+                stg_results[i] = self._magnify_goal_fallback(
+                    i, starts[i], starts_exact[i], stg_results[i])
 
+        self.last_stg = stg_results
+        actions = self._action_rules(stg_results, starts, stop_now)
         for s in self.slots:
             s.l_step += 1
             s.step += 1
@@ -452,119 +587,86 @@ class BatchedNavRuntime:
         return [{"action": a} for a in actions]
 
     # ------------------------------------------------------------------
-    def _update_predictions(self, trig, goal_cats, loc_r, loc_c):
-        """Prediction + geodesic value weighting for triggered envs."""
-        cfg = self.cfg
-        pw = cfg.prediction_window
-        x1 = self.Hf // 2 - pw // 2
-        y1 = self.Wf // 2 - pw // 2
-
-        full = self.full_maps
-        # chunked prediction over triggered envs
-        preds = {}
-        for start in range(0, len(trig), self.predict_chunk):
-            chunk = trig[start:start + self.predict_chunk]
-            pad = self.predict_chunk - len(chunk)
-            idxs = np.asarray(chunk + [chunk[-1]] * pad, np.int32)
-            crop = jax.lax.dynamic_slice(
-                full, (0, 0, x1, y1),
-                (full.shape[0], self.nc, pw, pw))[jnp.asarray(idxs)]
-            probs = self.pred_model._infer(self.pred_model.variables, crop)
-            for j, env in enumerate(chunk):
-                preds[env] = probs[j]
-
-        # paste per-env target channel into local windows
-        tp = np.array(self.target_pred)
-        local_explored = np.asarray(self.local_maps[:, 1])
-        for env in trig:
-            s = self.slots[env]
-            pred_full = np.zeros((self.Hf, self.Wf), np.float32)
-            pred_full[x1:x1 + pw, y1:y1 + pw] = \
-                np.asarray(preds[env][goal_cats[env]])
-            window = pred_full[s.lmb[0]:s.lmb[1], s.lmb[2]:s.lmb[3]]
-            tp[env] = window * (local_explored[env] < 0.5)
-        self.target_pred = jnp.asarray(tp)
-
-        # batched geodesic weighting on the full maps (triggered subset,
-        # padded to the fixed chunk size so program shapes never vary)
-        dd_chunks = []
-        for start in range(0, len(trig), self.predict_chunk):
-            chunk = trig[start:start + self.predict_chunk]
-            pad = self.predict_chunk - len(chunk)
-            cidx = chunk + [chunk[-1]] * pad
-            idxs = jnp.asarray(np.asarray(cidx, np.int32))
-            agent_r = jnp.asarray(np.clip(
-                [loc_r[i] + self.slots[i].lmb[0] for i in cidx],
-                0, self.Hf - 1))
-            agent_c = jnp.asarray(np.clip(
-                [loc_c[i] + self.slots[i].lmb[2] for i in cidx],
-                0, self.Wf - 1))
-            out = self._value_program(
-                full[idxs], self.collision[idxs], self.visited[idxs],
-                agent_r, agent_c)
-            dd_chunks.append(np.asarray(out)[:len(chunk)])
-        dd_np = np.concatenate(dd_chunks, axis=0)
-        dd_wt_all = np.array(self.dd_wt)
-        tp_all = np.asarray(self.target_pred)
-        for j, env in enumerate(trig):
-            s = self.slots[env]
-            window = dd_np[j][s.lmb[0]:s.lmb[1], s.lmb[2]:s.lmb[3]]
-            if window.sum() < 10 and s.dd_wt_valid:
-                window = dd_wt_all[env]  # stuck inside obstacle: reuse
-            dd_wt_all[env] = window
-            s.dd_wt_valid = True
-            value = tp_all[env] * window
-            idx = int(value.argmax())
-            new_goal = [idx // self.Wl, idx % self.Wl]
-            if [new_goal] != s.last_global_goal:
-                s.last_global_goal = [list(s.global_goal)]
-                s.global_goal = new_goal
-        self.dd_wt = jnp.asarray(dd_wt_all)
-
-    # ------------------------------------------------------------------
-    def _plan_batch(self, local_poses, found, stop_now) -> List[int]:
+    def _pack_obs(self, observations, goal_cats):
         cfg = self.cfg
         n = self.n
+        fh, fw = cfg.frame_height, cfg.frame_width
+        obs_u8 = np.zeros((n, 3 + cfg.num_sem_categories, fh, fw), np.uint8)
+        depth_cm = np.zeros((n, fh, fw), np.float32)
 
-        # planner-frame start cells + visited line drawing + collisions
+        if hasattr(self.segmenter, "batch"):
+            sems = self.segmenter.batch(
+                [np.asarray(observations[i]["rgb"], np.uint8)
+                 for i in range(n)], [int(g) for g in goal_cats])
+        else:
+            sems = []
+            for i in range(n):
+                o = observations[i]
+                if cfg.use_gt_seg and hasattr(self.segmenter, "goalseg"):
+                    self.segmenter.goalseg = o.get("goalseg")
+                sems.append(self.segmenter(
+                    np.asarray(o["rgb"], np.uint8), depth=o["depth"],
+                    goal_cat=int(goal_cats[i])))
+
+        ds = cfg.env_frame_width // cfg.frame_width
+
+        def assemble(i):
+            o = observations[i]
+            d = preprocess_depth(np.asarray(o["depth"]), cfg.min_depth,
+                                 cfg.max_depth)
+            rgb = np.asarray(o["rgb"])
+            sem = sems[i]
+            if ds != 1:
+                rgb = rgb[ds // 2::ds, ds // 2::ds]
+                d = d[ds // 2::ds, ds // 2::ds]
+                sem = sem[ds // 2::ds, ds // 2::ds]
+            obs_u8[i, :3] = rgb.transpose(2, 0, 1)
+            # semantic masks are instance-count accumulations; uint8 is exact
+            obs_u8[i, 3:] = np.clip(sem, 0, 255).astype(np.uint8).transpose(
+                2, 0, 1)
+            depth_cm[i] = d
+
+        list(self._pool.map(assemble, range(self.n)))
+        return obs_u8, depth_cm
+
+    def _planner_cells(self, lmb):
+        cfg = self.cfg
+        n = self.n
         starts = np.zeros((n, 2), np.int32)
         starts_exact = np.zeros((n, 2))
-        line_rows = np.zeros((n, 104), np.int32)
-        line_cols = np.zeros((n, 104), np.int32)
-        line_valid = np.zeros((n, 104), bool)
-        col_rows = np.zeros((n, 8), np.int32)
-        col_cols = np.zeros((n, 8), np.int32)
-        col_valid = np.zeros((n, 8), bool)
+        for i, s in enumerate(self.slots):
+            start_x, start_y, _ = s.pose_inputs[:3]
+            gx1, gy1 = int(lmb[i][0]), int(lmb[i][2])
+            se = [start_y * 100.0 / cfg.map_resolution - gx1,
+                  start_x * 100.0 / cfg.map_resolution - gy1]
+            starts_exact[i] = se
+            starts[i] = threshold_poses([int(se[0]), int(se[1])],
+                                        (self.Hl, self.Wl))
+        return starts, starts_exact
 
+    def _collect_points(self, starts, lmb):
+        """Visited-line cells + collision cells for this tick's scatters."""
+        cfg = self.cfg
         for i, s in enumerate(self.slots):
             start_x, start_y, start_o = s.pose_inputs[:3]
-            gx1, gx2, gy1, gy2 = [int(v) for v in s.lmb]
+            gx1, gy1 = int(lmb[i][0]), int(lmb[i][2])
             s.last_loc = s.curr_loc
             s.curr_loc = [start_x, start_y, start_o]
-            r, c = start_y, start_x
-            se = [r * 100.0 / cfg.map_resolution - gx1,
-                  c * 100.0 / cfg.map_resolution - gy1]
-            starts_exact[i] = se
-            st = threshold_poses([int(se[0]), int(se[1])],
-                                 (self.Hl, self.Wl))
-            starts[i] = st
+            st = starts[i]
             last = threshold_poses(
                 [int(s.last_loc[1] * 100.0 / cfg.map_resolution - gx1),
                  int(s.last_loc[0] * 100.0 / cfg.map_resolution - gy1)],
                 (self.Hl, self.Wl))
-            # visited line: 26 samples x 2x2 squares, in FULL map coords
             k = 0
             for t in range(26):
                 x = int(np.rint(last[0] + (st[0] - last[0]) * t / 25))
                 y = int(np.rint(last[1] + (st[1] - last[1]) * t / 25))
                 for dx_ in (-1, 0):
                     for dy_ in (-1, 0):
-                        line_rows[i, k] = x + dx_ + gx1
-                        line_cols[i, k] = y + dy_ + gy1
-                        line_valid[i, k] = True
+                        self._line_pts[i, k] = (x + dx_ + gx1, y + dy_ + gy1)
+                        self._line_valid[i, k] = True
                         k += 1
 
-            # collision detection (planner.py:283-320)
             if s.last_action == 1:
                 x1l, y1l, t1 = s.last_loc
                 x2l, y2l, _ = s.curr_loc
@@ -593,67 +695,153 @@ class BatchedNavRuntime:
                                 - (jj - width // 2) * np.cos(np.deg2rad(t1)))
                             rr = int(wy * 100 / cfg.map_resolution)
                             cc = int(wx * 100 / cfg.map_resolution)
-                            rr, cc = threshold_poses([rr, cc],
-                                                     (self.Hf, self.Wf))
-                            col_rows[i, k] = rr
-                            col_cols[i, k] = cc
-                            col_valid[i, k] = True
+                            rr, cc = threshold_poses(
+                                [rr, cc], (self.Hf, self.Wf))
+                            self._col_pts[i, k] = (rr, cc)
+                            self._col_valid[i, k] = True
                             k += 1
                 else:
                     if s.prev_blocked >= self.BLOCK_THRESHOLD:
                         s.untrap.reset()
                     s.prev_blocked = 0
 
-        self.visited = self._scatter_points(
-            self.visited, jnp.asarray(line_rows), jnp.asarray(line_cols),
-            jnp.asarray(line_valid))
-        self.collision = self._scatter_points(
-            self.collision, jnp.asarray(col_rows), jnp.asarray(col_cols),
-            jnp.asarray(col_valid))
+    # ------------------------------------------------------------------
+    def _stg_from_window(self, window, start_exact, start):
+        """Annulus argmin on the pulled 11x11 window (FMMPlanner
+        get_short_term_goal semantics)."""
+        du = 5
+        dx = start_exact[0] - int(start_exact[0])
+        dy = start_exact[1] - int(start_exact[1])
+        mask = step_mask(dx, dy, 1.0, du)
+        dist_mask = step_dist(dx, dy, 1.0, du)
+        sentinel = (self.Hl + 2) ** 2
+        subset = window.copy()
+        subset *= mask
+        subset += (1 - mask) * sentinel
+        distance = subset[du, du]
+        stop = bool(distance < 0.25 * 100 / 5.0)
+        subset = subset - distance
+        ratio1 = subset / dist_mask
+        subset[ratio1 < -1.5] = 1
+        sx, sy = np.unravel_index(np.argmin(subset), subset.shape)
+        replan = bool(subset[sx, sy] > -0.0001)
+        return (sx + start[0] - du, sy + start[1] - du, distance, stop,
+                replan)
 
-        lmb = jnp.asarray(np.stack([s.lmb for s in self.slots]))
-        is_toilet = jnp.asarray(
-            np.array([s.goal_name == "toilet" for s in self.slots]))
-        found_d = jnp.asarray(found.astype(np.float32))
+    def _replan_pass(self, flags, stg_results, starts, starts_exact, lmb,
+                     goal_cats, no_erode, is_toilet, poses_new, trig):
+        """Second solve with eroded obstacle maps for flagged envs."""
+        cfg = self.cfg
+        for i in np.where(flags)[0]:
+            if cfg.only_explore:
+                s = self.slots[i]
+                s.preset_id = (s.preset_id + 1) % len(self.presets)
+
+        st = self.state
         loc_r = jnp.asarray(starts[:, 0])
         loc_c = jnp.asarray(starts[:, 1])
-
-        plan = self._plan_program(
-            self.local_maps, self.collision, self.visited, lmb, loc_r, loc_c,
-            self.goal_maps, found_d, is_toilet,
-            jnp.zeros(n, bool))
+        lmb_d = jnp.asarray(lmb)
+        obstacle = st.local_maps[:, 0]
+        obstacle = jnp.where(
+            jnp.asarray(flags)[:, None, None],
+            B.batch_erode(jnp.rint(obstacle), CROSS).astype(jnp.float32),
+            obstacle)
+        coll_w = B.window_shuttle_in(st.collision[:, None], lmb_d,
+                                     self.Hl, self.Wl)[:, 0]
+        vis_w = B.window_shuttle_in(st.visited[:, None], lmb_d,
+                                    self.Hl, self.Wl)[:, 0]
+        trav, _ = B.build_traversible(
+            obstacle, coll_w, vis_w, loc_r, loc_c, int(cfg.col_rad),
+            lmb_d[:, 2] == 0, lmb_d[:, 3] == self.Wf,
+            lmb_d[:, 0] == 0, lmb_d[:, 1] == self.Hf)
+        # rebuild goal maps from device state
+        goal_maps = self._current_goal_maps(goal_cats, no_erode)
+        found = np.array([s.found_goal for s in self.slots], np.float32)
+        goal_dil = B.dilate_goal(goal_maps, jnp.asarray(found),
+                                 jnp.asarray(is_toilet)).astype(jnp.float32)
+        plan = B.plan_distance_fields(trav, goal_dil, loc_r, loc_c,
+                                      n_iters=cfg.fmm_sweeps)
         windows = np.asarray(plan.window)
-        replan_flags = np.zeros(n, bool)
-        stg_results = [None] * n
-        for i in range(n):
-            stg_results[i] = self._stg_from_window(
-                windows[i], starts_exact[i], starts[i])
-            replan_flags[i] = stg_results[i][4]
+        out = list(stg_results)
+        for i in np.where(flags)[0]:
+            out[i] = self._stg_from_window(windows[i], starts_exact[i],
+                                           starts[i])
+        return out
 
-        if replan_flags.any():
-            # retry with eroded obstacle map for flagged envs
-            for i in np.where(replan_flags)[0]:
-                if cfg.only_explore:
-                    s = self.slots[i]
-                    s.preset_id = (s.preset_id + 1) % len(self.presets)
-            plan2 = self._plan_program(
-                self.local_maps, self.collision, self.visited, lmb, loc_r,
-                loc_c, self.goal_maps, found_d, is_toilet,
-                jnp.asarray(replan_flags))
-            windows2 = np.asarray(plan2.window)
-            for i in np.where(replan_flags)[0]:
-                stg_results[i] = self._stg_from_window(
-                    windows2[i], starts_exact[i], starts[i])
+    def _current_goal_maps(self, goal_cats, no_erode):
+        st = self.state
+        bidx = jnp.arange(self.n)
+        cat_maps = st.local_maps[bidx, jnp.asarray(goal_cats) + 4]
+        cat_bin = (cat_maps > 0).astype(jnp.float32)
+        eroded = cat_bin
+        for _ in range(self.cfg.goal_erode):
+            eroded = B.batch_erode(eroded, CROSS).astype(jnp.float32)
+        eroded = B.batch_dilate(eroded, CROSS).astype(jnp.float32)
+        temp = jnp.where(jnp.asarray(no_erode)[:, None, None], cat_bin,
+                         eroded)
+        others = st.local_maps[:, 4:10].sum(axis=1) - cat_maps
+        temp = temp * (others == 0)
+        found = jnp.asarray(
+            np.array([s.found_goal for s in self.slots], bool))
+        single = jnp.zeros_like(temp)
+        single = jax.vmap(lambda g, rc: g.at[rc[0], rc[1]].set(1.0))(
+            single, jnp.asarray(self.goal_shadow))
+        return jnp.where(found[:, None, None], temp, single)
 
-        # goal magnification (rare): host fallback per env
-        for i in range(n):
-            s = self.slots[i]
-            _, _, distance, _, _ = stg_results[i]
-            if s.found_goal == 1 and distance > cfg.magnify_goal_when_hard:
-                stg_results[i] = self._magnify_goal_fallback(
-                    i, starts[i], starts_exact[i], stg_results[i])
+    def _magnify_goal_fallback(self, i, start, start_exact, result):
+        """Host-side goal magnification loop (planner.py:473-489)."""
+        cfg = self.cfg
+        s = self.slots[i]
+        st = self.state
+        obstacle = np.rint(np.asarray(st.local_maps[i, 0]))
+        gx1, gx2, gy1, gy2 = [int(v) for v in s.lmb]
+        coll = np.asarray(st.collision[i])[gx1:gx2, gy1:gy2]
+        vis = np.asarray(st.visited[i])[gx1:gx2, gy1:gy2]
+        if gx2 == self.Hf:
+            obstacle[-1] = 1
+        if gy2 == self.Wf:
+            obstacle[:, -1] = 1
+        if gx1 == 0:
+            obstacle[0] = 1
+        if gy1 == 0:
+            obstacle[:, 0] = 1
+        trav = np_binary_dilation(obstacle, disk(cfg.col_rad)) != True  # noqa: E712
+        trav = trav.astype(float)
+        trav[coll == 1] = 0
+        trav[vis == 1] = 1
+        trav[start[0] - 1:start[0] + 2, start[1] - 1:start[1] + 2] = 1
+        trav = np.pad(trav, 1, constant_values=1)
 
-        # action rules (planner.py:326-371)
+        goal_cats = np.array([hm3d_to_coco[
+            {v: k for k, v in hm3d_names.items()}[s.goal_name]]], np.int32)
+        goal = np.asarray(self._current_goal_maps(
+            np.full(self.n, goal_cats[0], np.int32),
+            np.array(["tv" in s.goal_name] * self.n))[i])
+        goal = np.pad(goal, 1, constant_values=0)
+        radius = 6 if s.goal_name == "toilet" else 8
+        goal_dil = 1 - (np_binary_dilation(goal, disk(radius)) != True)  # noqa: E712
+
+        planner = FMMPlanner(trav, n_iters=cfg.fmm_sweeps)
+        planner.set_multi_goal(goal_dil.astype(float))
+        state = [start_exact[0] + 1, start_exact[1] + 1]
+        stg_x, stg_y, distance, stop, replan = \
+            planner.get_short_term_goal(state)
+        step = 0
+        is_toilet = s.goal_name == "toilet"
+        while distance > 100:
+            step += 1
+            if step > 8 or (is_toilet and step > 2):
+                break
+            goal_dil = np_binary_dilation(goal_dil, disk(2)) != True  # noqa: E712
+            goal_dil = 1 - goal_dil.astype(float)
+            planner.set_multi_goal(goal_dil)
+            stg_x, stg_y, distance, stop, replan = \
+                planner.get_short_term_goal(state)
+        return (stg_x - 1, stg_y - 1, distance, stop, replan)
+
+    # ------------------------------------------------------------------
+    def _action_rules(self, stg_results, starts, stop_now) -> List[int]:
+        cfg = self.cfg
         actions = []
         for i, s in enumerate(self.slots):
             if stop_now[i]:
@@ -665,8 +853,8 @@ class BatchedNavRuntime:
             start = starts[i]
             start_o = s.pose_inputs[2]
             if s.forward_after_stop < 0:
-                s.forward_after_stop = self.cfg.move_forward_after_stop
-            if s.forward_after_stop != self.cfg.move_forward_after_stop:
+                s.forward_after_stop = cfg.move_forward_after_stop
+            if s.forward_after_stop != cfg.move_forward_after_stop:
                 if s.forward_after_stop == 0:
                     s.forward_after_stop -= 1
                     action = 0
@@ -707,73 +895,3 @@ class BatchedNavRuntime:
             s.last_action = action
             actions.append(int(action))
         return actions
-
-    # ------------------------------------------------------------------
-    def _stg_from_window(self, window, start_exact, start):
-        """Annulus argmin on the pulled 11x11 window (FMMPlanner
-        get_short_term_goal semantics in planner coordinates)."""
-        du = 5
-        dx = start_exact[0] - int(start_exact[0])
-        dy = start_exact[1] - int(start_exact[1])
-        mask = step_mask(dx, dy, 1.0, du)
-        dist_mask = step_dist(dx, dy, 1.0, du)
-        sentinel = (self.Hl + 2) ** 2
-        subset = window.copy()
-        subset *= mask
-        subset += (1 - mask) * sentinel
-        distance = subset[du, du]
-        stop = bool(distance < 0.25 * 100 / 5.0)
-        subset = subset - distance
-        ratio1 = subset / dist_mask
-        subset[ratio1 < -1.5] = 1
-        sx, sy = np.unravel_index(np.argmin(subset), subset.shape)
-        replan = bool(subset[sx, sy] > -0.0001)
-        # window centre is the agent cell (+1 boundary coord cancels with -1)
-        return (sx + start[0] - du, sy + start[1] - du, distance, stop,
-                replan)
-
-    def _magnify_goal_fallback(self, i, start, start_exact, result):
-        """Host-side goal magnification loop (planner.py:473-489)."""
-        cfg = self.cfg
-        s = self.slots[i]
-        obstacle = np.rint(np.asarray(self.local_maps[i, 0]))
-        gx1, gx2, gy1, gy2 = [int(v) for v in s.lmb]
-        coll = np.asarray(self.collision[i])[gx1:gx2, gy1:gy2]
-        vis = np.asarray(self.visited[i])[gx1:gx2, gy1:gy2]
-        if gx2 == self.Hf:
-            obstacle[-1] = 1
-        if gy2 == self.Wf:
-            obstacle[:, -1] = 1
-        if gx1 == 0:
-            obstacle[0] = 1
-        if gy1 == 0:
-            obstacle[:, 0] = 1
-        trav = np_binary_dilation(obstacle, disk(cfg.col_rad)) != True  # noqa: E712
-        trav = trav.astype(float)
-        trav[coll == 1] = 0
-        trav[vis == 1] = 1
-        trav[start[0] - 1:start[0] + 2, start[1] - 1:start[1] + 2] = 1
-        trav = np.pad(trav, 1, constant_values=1)
-
-        goal = np.asarray(self.goal_maps[i])
-        goal = np.pad(goal, 1, constant_values=0)
-        radius = 6 if s.goal_name == "toilet" else 8
-        goal_dil = 1 - (np_binary_dilation(goal, disk(radius)) != True)  # noqa: E712
-
-        planner = FMMPlanner(trav, n_iters=cfg.fmm_sweeps)
-        planner.set_multi_goal(goal_dil.astype(float))
-        state = [start_exact[0] + 1, start_exact[1] + 1]
-        stg_x, stg_y, distance, stop, replan = \
-            planner.get_short_term_goal(state)
-        step = 0
-        is_toilet = s.goal_name == "toilet"
-        while distance > 100:
-            step += 1
-            if step > 8 or (is_toilet and step > 2):
-                break
-            goal_dil = np_binary_dilation(goal_dil, disk(2)) != True  # noqa: E712
-            goal_dil = 1 - goal_dil.astype(float)
-            planner.set_multi_goal(goal_dil)
-            stg_x, stg_y, distance, stop, replan = \
-                planner.get_short_term_goal(state)
-        return (stg_x - 1, stg_y - 1, distance, stop, replan)

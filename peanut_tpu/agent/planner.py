@@ -252,6 +252,7 @@ class MotionPlanner:
         goal_b = self._add_boundary(goal, value=0.0)
 
         planner = FMMPlanner(traversible, n_iters=cfg.fmm_sweeps)
+        self._dbg_traversible = traversible
 
         is_toilet = self.goal_name == "toilet"
         radius = 8 if self.found_goal == 1 else 2
@@ -262,6 +263,8 @@ class MotionPlanner:
         planner.set_multi_goal(goal_dil)
 
         state = [start[0] - x1 + 1, start[1] - y1 + 1]
+        self._dbg_fmm = planner.fmm_dist
+        self._dbg_goal_dil = goal_dil
         stg_x, stg_y, distance, stop, replan = planner.get_short_term_goal(state)
 
         if replan:

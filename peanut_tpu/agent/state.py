@@ -18,8 +18,10 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import numpy as np
+import jax.numpy as jnp
 
 from ..config import NavConfig
+from ..geometry.pose import integrate_pose_np
 from ..constants import hm3d_names
 from ..kernels import eikonal_distance, masked_fill_unreachable
 from ..kernels.morphology import disk, np_binary_dilation, np_binary_erosion
@@ -129,11 +131,13 @@ class NavAgentState:
         self.step = 0
         self.poses = np.asarray(info["sensor_pose"], np.float32)
 
-        _, local_map, local_pose = self.mapper(
-            obs[None], self.poses[None], self.local_map[None],
-            self.local_pose[None])
+        # pose integration happens host-side (shared numpy twin) so every
+        # consumer of agent cells sees identical values
+        new_pose = integrate_pose_np(self.local_pose[None], self.poses[None])
+        _, local_map, _ = self.mapper.apply_core(
+            obs[None], jnp.asarray(new_pose), self.local_map[None])
         self.local_map = np.array(local_map[0])  # writable host copy
-        self.local_pose = np.array(local_pose[0])
+        self.local_pose = new_pose[0]
 
         locs = self.local_pose
         r, c = locs[1], locs[0]
@@ -208,11 +212,11 @@ class NavAgentState:
 
     def update_local_map(self, obs):
         cfg = self.cfg
-        _, local_map, local_pose = self.mapper(
-            obs[None], self.poses[None], self.local_map[None],
-            self.local_pose[None])
+        new_pose = integrate_pose_np(self.local_pose[None], self.poses[None])
+        _, local_map, _ = self.mapper.apply_core(
+            obs[None], jnp.asarray(new_pose), self.local_map[None])
         self.local_map = np.array(local_map[0])  # writable host copy
-        self.local_pose = np.array(local_pose[0])
+        self.local_pose = new_pose[0]
 
         locs = self.local_pose
         self.planner_pose_inputs[:3] = locs + self.origins

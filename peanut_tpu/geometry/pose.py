@@ -60,6 +60,25 @@ def integrate_pose(pose, rel):
     return jnp.stack([x, y, o], axis=1)
 
 
+def integrate_pose_np(pose: np.ndarray, rel: np.ndarray) -> np.ndarray:
+    """Host float32 twin of :func:`integrate_pose`.
+
+    The agent runtimes integrate poses host-side (so the host's collision /
+    line-drawing cells and the device's stamping cells come from the same
+    values); this is the single source of that arithmetic.
+    pose: (B, 3) [x, y, o_deg]; rel: (B, 3) [dx, dy, do_rad].
+    """
+    pose = np.asarray(pose, np.float32)
+    rel = np.asarray(rel, np.float32)
+    o_rad = pose[:, 2] / np.float32(RAD2DEG)
+    y = pose[:, 1] + rel[:, 0] * np.sin(o_rad) + rel[:, 1] * np.cos(o_rad)
+    x = pose[:, 0] + rel[:, 0] * np.cos(o_rad) - rel[:, 1] * np.sin(o_rad)
+    o = pose[:, 2] + rel[:, 2] * np.float32(RAD2DEG)
+    o = np.fmod(o - 180.0, 360.0) + 180.0
+    o = np.fmod(o + 180.0, 360.0) - 180.0
+    return np.stack([x, y, o], axis=1).astype(np.float32)
+
+
 def threshold_poses(coords, shape):
     coords[0] = min(max(0, coords[0]), shape[0] - 1)
     coords[1] = min(max(0, coords[1]), shape[1] - 1)

@@ -129,9 +129,13 @@ def _build_update(p: MapperParams):
     min_z = int(25 / p.z_resolution - p.min_h_idx)
     max_z = int((p.agent_height_cm + 1) / p.z_resolution - p.min_h_idx)
 
-    def update(obs, pose_delta, maps_last, poses_last):
-        """obs: (B, 4+nsc, H, W); pose_delta: (B, 3) [dx, dy, do_rad];
-        maps_last: (B, 4+nsc, M, M); poses_last: (B, 3) [x, y, o_deg]."""
+    def update_core(obs, current_poses, maps_last):
+        """Map update with the post-integration pose supplied by the caller
+        (the batched runtime integrates poses host-side so host and device
+        agree bitwise on agent cells).
+
+        obs: (B, 4+nsc, H, W); current_poses: (B, 3) [x, y, o_deg];
+        maps_last: (B, 4+nsc, M, M)."""
         b, c = obs.shape[0], obs.shape[1]
         depth = obs[:, 3, :, :]
 
@@ -190,8 +194,6 @@ def _build_update(p: MapperParams):
         agent_view = agent_view.at[:, 4:, y1:y2, x1:x2].set(
             jnp.clip(agent_height_proj[:, 1:] / p.cat_pred_threshold, 0, 1))
 
-        current_poses = integrate_pose(poses_last, pose_delta)
-
         st_pose = jnp.stack([
             -(current_poses[:, 0] * 100.0 / p.resolution
               - local_m // 2) / (local_m // 2),
@@ -207,7 +209,13 @@ def _build_update(p: MapperParams):
         new_map = jnp.maximum(maps_last, translated)
         return fp_map, new_map, current_poses
 
-    return jax.jit(update)
+    def update(obs, pose_delta, maps_last, poses_last):
+        """Reference-shaped entry: integrates the relative pose on device
+        (mapping.py:143-160) then runs the core update."""
+        current_poses = integrate_pose(poses_last, pose_delta)
+        return update_core(obs, current_poses, maps_last)
+
+    return jax.jit(update), update_core
 
 
 class SemanticMapper:
@@ -218,7 +226,8 @@ class SemanticMapper:
             self.params = cfg_or_params
         else:
             self.params = MapperParams.from_config(cfg_or_params)
-        self._update = _build_update(self.params)
+        self._update, self.update_core = _build_update(self.params)
+        self.apply_core = jax.jit(self.update_core)
 
     def __call__(self, obs, pose_delta, maps_last, poses_last):
         """Returns (fp_map, fused_map, current_poses); see _build_update."""
