@@ -73,7 +73,15 @@ class FCNHead(nn.Module, DecodeHeadMixin):
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
-        x = inputs[self.in_index]
+        if isinstance(self.in_index, (tuple, list)):
+            # mmseg 'resize_concat': upsample selections to the finest level
+            sel = [inputs[i] for i in self.in_index]
+            hw = (sel[0].shape[-3], sel[0].shape[-2])
+            x = jnp.concatenate(
+                [resize_bilinear(f, hw, align_corners=self.align_corners)
+                 for f in sel], axis=-1)
+        else:
+            x = inputs[self.in_index]
         feats = x
         conv_padding = (self.kernel_size // 2) * self.dilation
         for i in range(self.num_convs):
@@ -204,6 +212,51 @@ class DepthwiseSeparableASPPHead(nn.Module, DecodeHeadMixin):
         feats = ConvModule(self.channels, 3, padding=1,
                            name="sep_conv1")(feats, train=train)
         return self.cls_seg(feats, train)
+
+
+@HEADS.register()
+class OCRHead(nn.Module, DecodeHeadMixin):
+    """Object-Contextual Representations head (ocr_head.py): soft object
+    regions from a prior head's logits gather class centroids; pixels attend
+    over them.  Cascade-style: __call__ takes (inputs, prev_logits)."""
+    in_channels: int = 2048
+    channels: int = 512
+    ocr_channels: int = 256
+    num_classes: int = 19
+    dropout_ratio: float = 0.1
+    in_index: int = 3
+    align_corners: bool = False
+    scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, inputs, prev_logits=None, train: bool = False):
+        x = inputs[self.in_index]
+        b, h, w, _ = x.shape
+        feats = ConvModule(self.channels, 3, padding=1,
+                           name="bottleneck")(x, train=train)
+        if prev_logits is None:
+            prev_logits = ConvModule(self.num_classes, 1, with_norm=False,
+                                     with_act=False,
+                                     name="soft_regions")(feats, train=train)
+        probs = nn.softmax(prev_logits.reshape(b, h * w, -1) * self.scale,
+                           axis=1)                      # (B, HW, K)
+        pixels = feats.reshape(b, h * w, self.channels)
+        # class centroids: weighted average of pixel features
+        context = jnp.einsum("bpk,bpc->bkc", probs, pixels)
+
+        # pixel-to-region attention (self_attention_block equivalent)
+        query = nn.Dense(self.ocr_channels, name="query")(pixels)
+        key = nn.Dense(self.ocr_channels, name="key")(context)
+        value = nn.Dense(self.ocr_channels, name="value")(context)
+        sim = jnp.einsum("bpc,bkc->bpk", query, key) / jnp.sqrt(
+            float(self.ocr_channels))
+        attn = nn.softmax(sim, axis=-1)
+        ocr = jnp.einsum("bpk,bkc->bpc", attn, value)
+        ocr = nn.Dense(self.channels, name="up_proj")(ocr)
+        out = jnp.concatenate([pixels, ocr], axis=-1).reshape(
+            b, h, w, 2 * self.channels)
+        out = ConvModule(self.channels, 1, name="fuse")(out, train=train)
+        return self.cls_seg(out, train)
 
 
 @HEADS.register()
