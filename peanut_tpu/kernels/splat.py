@@ -22,6 +22,92 @@ import jax
 import jax.numpy as jnp
 
 
+def splat_projected_2d(feat, coords, vr: int, nz: int,
+                       min_z: int, max_z: int, chunk: int = 1200):
+    """Scatter-free voxel splat, pre-collapsed over height bands.
+
+    The mapper only ever consumes the 3D voxel grid through two z-band sums
+    (agent-height band and all-height; reference mapping.py:102-106), so the
+    z axis can be folded into per-point scalar masses and the xy bilinear
+    scatter becomes a dense contraction:
+
+        out[c, y, x] = sum_p feat[c, p] * wz[p] * Wy[p, y] * Wx[p, x]
+
+    where Wy/Wx hold the bilinear hat weights evaluated against a cell iota
+    (exactly two nonzeros per point, identical values to the trilinear
+    corner weights, with the reference's index-0 exclusion).  This runs as
+    chunked MXU matmuls — no scatter, ~2 orders of magnitude faster on TPU
+    than the scatter_add formulation.  It skips the reference's per-corner
+    integer rounding (use the exact path for bit-comparable maps).
+
+    Args:
+      feat: (B, C, P); coords: (B, 3, P) normalized [-1, 1].
+    Returns:
+      (band_proj, total_proj): each (B, C, vr, vr), with out[..., y, x]
+      indexed [y=dim1 cell, x=dim0 cell] matching the exact path's
+      ``voxels.transpose(2, 3)`` + band-sum output orientation.
+    """
+    b, c, p = feat.shape
+    f32 = jnp.float32
+
+    pos_x = coords[:, 0, :] * (vr / 2.0) + vr / 2.0      # (B, P)
+    pos_y = coords[:, 1, :] * (vr / 2.0) + vr / 2.0
+    pos_z = coords[:, 2, :] * (nz / 2.0) + nz / 2.0
+
+    # z mass per point: two hat-weighted bins, index-0 excluded (safe_ix)
+    z0 = jnp.floor(pos_z)
+    masses = []
+    for sel in ("band", "total"):
+        m = jnp.zeros_like(pos_z)
+        for ix in (0.0, 1.0):
+            zi = z0 + ix
+            w = (1.0 - jnp.abs(pos_z - zi)) * ((zi > 0) & (zi < nz))
+            if sel == "band":
+                w = w * ((zi >= min_z) & (zi < max_z))
+            m = m + w
+        masses.append(m)
+    w_band, w_total = masses
+
+    cells = jnp.arange(vr, dtype=f32)
+    valid_cell = (cells > 0)                              # index-0 exclusion
+
+    def hat(pos):
+        w = 1.0 - jnp.abs(pos[..., None] - cells[None, None, :])
+        return jnp.maximum(w, 0.0) * valid_cell[None, None, :]  # (B, P, vr)
+
+    n_chunks = -(-p // chunk)
+    pad = n_chunks * chunk - p
+    def padp(x, axis):
+        cfgp = [(0, 0)] * x.ndim
+        cfgp[axis] = (0, pad)
+        return jnp.pad(x, cfgp)
+
+    feat_c = padp(feat, 2).reshape(b, c, n_chunks, chunk)
+    px_c = padp(pos_x, 1).reshape(b, n_chunks, chunk)
+    py_c = padp(pos_y, 1).reshape(b, n_chunks, chunk)
+    wb_c = padp(w_band, 1).reshape(b, n_chunks, chunk)
+    wt_c = padp(w_total, 1).reshape(b, n_chunks, chunk)
+
+    def body(acc, idx):
+        fk = feat_c[:, :, idx]                            # (B, C, K)
+        wy = hat(py_c[:, idx])                            # (B, K, vr)
+        wx = hat(px_c[:, idx])                            # (B, K, vr)
+        outs = []
+        for wz in (wb_c[:, idx], wt_c[:, idx]):
+            fz = fk * wz[:, None, :]                      # (B, C, K)
+            # Z[b, c, x, k] = fz * wx ; out += Z @ wy -> (B, C, x, y)
+            zcx = jnp.einsum("bck,bkx->bcxk", fz, wx)
+            outs.append(jnp.einsum("bcxk,bky->bcxy", zcx, wy))
+        return (acc[0] + outs[0], acc[1] + outs[1]), None
+
+    init = (jnp.zeros((b, c, vr, vr), f32), jnp.zeros((b, c, vr, vr), f32))
+    (band, total), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    # orientation: exact path transposes the two spatial dims (x-major ->
+    # row=y); 'bcxy' above already has [dim0-cell, dim1-cell] = pre-transpose
+    # layout, so swap to match voxels.transpose(2, 3)
+    return jnp.swapaxes(band, 2, 3), jnp.swapaxes(total, 2, 3)
+
+
 def splat_feat_nd(init_grid, feat, coords, exact: bool = True):
     """Splat features into an n-D grid.
 

@@ -33,6 +33,7 @@ from ..geometry import (
 )
 from ..geometry.pose import integrate_pose
 from ..kernels import splat_feat_nd, grid_sample, pose_warp_grids
+from ..kernels.splat import splat_projected_2d
 
 
 class MapperParams(NamedTuple):
@@ -119,6 +120,114 @@ def _stair_mask(xyz_std, feat, p: MapperParams):
     return jnp.where(kill[:, None, :], 99999.0, xyz_std)
 
 
+def _theta_pixel_affine(theta, m: int):
+    """Pixel-space affine F (B, 3, 3) for one reference warp pass.
+
+    The reference samples with torch affine_grid(align_corners=False) +
+    grid_sample(align_corners=True) (model.py:40-41, mapping.py:172-173);
+    this folds base-grid construction, the theta transform and the
+    unnormalization into one matrix mapping output pixel (i, j, 1) to
+    source pixel (sy, sx).
+    """
+    b = theta.shape[0]
+
+    def f(i, j):
+        gx = (2.0 * j + 1.0) / m - 1.0
+        gy = (2.0 * i + 1.0) / m - 1.0
+        vx = theta[:, 0, 0] * gx + theta[:, 0, 1] * gy + theta[:, 0, 2]
+        vy = theta[:, 1, 0] * gx + theta[:, 1, 1] * gy + theta[:, 1, 2]
+        sx = (vx + 1.0) * 0.5 * (m - 1)
+        sy = (vy + 1.0) * 0.5 * (m - 1)
+        return jnp.stack([sy, sx], axis=-1)          # (B, 2)
+
+    f00 = f(0.0, 0.0)
+    fi = f(1.0, 0.0) - f00
+    fj = f(0.0, 1.0) - f00
+    bot = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (b, 1))
+    return jnp.stack([
+        jnp.stack([fi[:, 0], fj[:, 0], f00[:, 0]], axis=1),
+        jnp.stack([fi[:, 1], fj[:, 1], f00[:, 1]], axis=1),
+        bot], axis=1)                                 # (B, 3, 3)
+
+
+def _windowed_warp(agent_view, st_pose, vr: int, local_m: int):
+    """Fast-mode pose warp: one composed affine over a small window.
+
+    The warped canvas is zero outside the vr x vr egocentric support, so
+    instead of two full-map bilinear passes (8 gathers over local_m^2) the
+    rotation+translation compose into ONE pixel-space affine and only a
+    WIN^2 output window around the projected support is sampled (4 gathers),
+    then pasted into the full canvas per env.  Differs from the exact path
+    only by single- vs double-bilinear smoothing.
+    """
+    b, c, m, _ = agent_view.shape
+    import math as _math
+
+    support_diam = int(_math.ceil(vr * 1.4142)) + 6
+    win = min(m, max(128, -(-support_diam // 32) * 32))
+
+    bsz = st_pose.shape[0]
+    t = st_pose[:, 2] * (np.pi / 180.0)
+    zeros = jnp.zeros_like(t)
+    ones = jnp.ones_like(t)
+    theta1 = jnp.stack([
+        jnp.stack([jnp.cos(t), -jnp.sin(t), zeros], axis=1),
+        jnp.stack([jnp.sin(t), jnp.cos(t), zeros], axis=1)], axis=1)
+    theta2 = jnp.stack([
+        jnp.stack([ones, zeros, st_pose[:, 0]], axis=1),
+        jnp.stack([zeros, ones, st_pose[:, 1]], axis=1)], axis=1)
+    f1 = _theta_pixel_affine(theta1, m)               # rotation pass
+    f2 = _theta_pixel_affine(theta2, m)               # translation pass
+    ftot = jnp.einsum("bij,bjk->bik", f1, f2)         # src = f1(f2(p))
+
+    # output window origin: preimage of the support centre
+    src_cy = m / 2.0 + vr / 2.0
+    src_cx = m / 2.0
+    a11, a12 = ftot[:, 0, 0], ftot[:, 0, 1]
+    a21, a22 = ftot[:, 1, 0], ftot[:, 1, 1]
+    b1 = src_cy - ftot[:, 0, 2]
+    b2 = src_cx - ftot[:, 1, 2]
+    det = a11 * a22 - a12 * a21
+    cy = (a22 * b1 - a12 * b2) / det
+    cx = (a11 * b2 - a21 * b1) / det
+    oy = jnp.clip(jnp.round(cy).astype(jnp.int32) - win // 2, 0, m - win)
+    ox = jnp.clip(jnp.round(cx).astype(jnp.int32) - win // 2, 0, m - win)
+
+    rows = jnp.arange(win, dtype=jnp.float32)
+    ii = oy[:, None, None].astype(jnp.float32) + rows[None, :, None]
+    jj = ox[:, None, None].astype(jnp.float32) + rows[None, None, :]
+    sy = ftot[:, 0, 0, None, None] * ii + ftot[:, 0, 1, None, None] * jj \
+        + ftot[:, 0, 2, None, None]
+    sx = ftot[:, 1, 0, None, None] * ii + ftot[:, 1, 1, None, None] * jj \
+        + ftot[:, 1, 2, None, None]
+
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy1 = sy - y0
+    wx1 = sx - x0
+    batch = jnp.arange(bsz).reshape(bsz, 1, 1)
+
+    def tap(yf, xf, w):
+        inside = (yf >= 0) & (yf <= m - 1) & (xf >= 0) & (xf <= m - 1)
+        yi = jnp.clip(yf, 0, m - 1).astype(jnp.int32)
+        xi = jnp.clip(xf, 0, m - 1).astype(jnp.int32)
+        vals = agent_view[batch, :, yi, xi]            # (B, win, win, C)
+        return vals * (w * inside)[..., None]
+
+    window = (tap(y0, x0, (1 - wy1) * (1 - wx1))
+              + tap(y0, x0 + 1, (1 - wy1) * wx1)
+              + tap(y0 + 1, x0, wy1 * (1 - wx1))
+              + tap(y0 + 1, x0 + 1, wy1 * wx1))
+    window = jnp.moveaxis(window, -1, 1)               # (B, C, win, win)
+
+    canvas = jnp.zeros_like(agent_view)
+
+    def paste(cv, w, yy, xx):
+        return jax.lax.dynamic_update_slice(cv, w, (jnp.int32(0), yy, xx))
+
+    return jax.vmap(paste)(canvas, window, oy, ox)
+
+
 def _build_update(p: MapperParams):
     """Construct the jitted batched update function for fixed geometry."""
     cam = get_camera_matrix(p.frame_w, p.frame_h, p.hfov)
@@ -165,13 +274,19 @@ def _build_update(p: MapperParams):
         coords = jnp.swapaxes(xyz.reshape(b, n_pt, 3), 1, 2)   # (B, 3, N)
         coords = _stair_mask(coords, feat, p)
 
-        init_grid = jnp.zeros((b, 1 + p.num_sem_categories, vr, vr, nz),
-                              jnp.float32)
-        voxels = splat_feat_nd(init_grid, feat, coords, exact=p.exact_splat)
-        voxels = jnp.swapaxes(voxels, 2, 3)                    # ref .transpose(2,3)
-
-        agent_height_proj = voxels[..., min_z:max_z].sum(axis=4)
-        all_height_proj = voxels.sum(axis=4)
+        if p.exact_splat:
+            init_grid = jnp.zeros((b, 1 + p.num_sem_categories, vr, vr, nz),
+                                  jnp.float32)
+            voxels = splat_feat_nd(init_grid, feat, coords, exact=True)
+            voxels = jnp.swapaxes(voxels, 2, 3)        # ref .transpose(2,3)
+            agent_height_proj = voxels[..., min_z:max_z].sum(axis=4)
+            all_height_proj = voxels.sum(axis=4)
+        else:
+            # scatter-free fast path: z bands fold into per-point masses,
+            # xy splat runs as dense MXU contractions (no per-corner
+            # rounding — maps differ from the exact path by <1 count/cell)
+            agent_height_proj, all_height_proj = splat_projected_2d(
+                feat, coords, vr, nz, min_z, max_z)
         # full-height override for thin/elevated categories (mapping.py:107-113)
         if p.num_sem_categories <= 16:
             over = (1 + 5, 1 + 2)
@@ -202,9 +317,13 @@ def _build_update(p: MapperParams):
             90.0 - current_poses[:, 2],
         ], axis=1)
 
-        rot_grid, trans_grid = pose_warp_grids(st_pose, (b, c, local_m, local_m))
-        rotated = grid_sample(agent_view, rot_grid, align_corners=True)
-        translated = grid_sample(rotated, trans_grid, align_corners=True)
+        if p.exact_splat:
+            rot_grid, trans_grid = pose_warp_grids(
+                st_pose, (b, c, local_m, local_m))
+            rotated = grid_sample(agent_view, rot_grid, align_corners=True)
+            translated = grid_sample(rotated, trans_grid, align_corners=True)
+        else:
+            translated = _windowed_warp(agent_view, st_pose, vr, local_m)
 
         new_map = jnp.maximum(maps_last, translated)
         return fp_map, new_map, current_poses
