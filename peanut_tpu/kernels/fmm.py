@@ -156,6 +156,31 @@ def _axis_relax(d, wall):
     return _jacobi_pass(d, wall)
 
 
+def _use_pallas() -> bool:
+    """The Pallas sweep kernel is the TPU path; XLA scan elsewhere."""
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def _sweep(d, wall, reverse: bool, block: int, inner: int):
+    if _use_pallas():
+        from .fmm_pallas import v_sweep_pallas
+
+        if d.ndim == 2:
+            return v_sweep_pallas(d[None], wall[None], reverse, block=block,
+                                  inner=inner)[0]
+        if d.ndim > 3:
+            bshape = d.shape[:-2]
+            flat = d.reshape((-1,) + d.shape[-2:])
+            wflat = wall.reshape((-1,) + d.shape[-2:])
+            out = v_sweep_pallas(flat, wflat, reverse, block=block,
+                                 inner=inner)
+            return out.reshape(bshape + d.shape[-2:])
+        return v_sweep_pallas(d, wall, reverse, block=block, inner=inner)
+    return _v_sweep(d, wall, reverse, block=block, inner=inner)
+
+
 @functools.partial(jax.jit, static_argnames=("n_iters", "block", "inner"))
 def eikonal_distance(traversible, sources, n_iters: int = 2, block: int = 16,
                      inner: int = 40):
@@ -181,14 +206,14 @@ def eikonal_distance(traversible, sources, n_iters: int = 2, block: int = 16,
 
     for _ in range(n_iters):
         d = _axis_relax(d, wallf)
-        d = _v_sweep(d, wallf, reverse=False, block=block, inner=inner)
-        d = _v_sweep(d, wallf, reverse=True, block=block, inner=inner)
+        d = _sweep(d, wallf, False, block, inner)
+        d = _sweep(d, wallf, True, block, inner)
         # Transposed orientation: columns become rows.
         dt = jnp.swapaxes(d, -1, -2)
         wt = jnp.swapaxes(wallf, -1, -2)
         dt = _axis_relax(dt, wt)
-        dt = _v_sweep(dt, wt, reverse=False, block=block, inner=inner)
-        dt = _v_sweep(dt, wt, reverse=True, block=block, inner=inner)
+        dt = _sweep(dt, wt, False, block, inner)
+        dt = _sweep(dt, wt, True, block, inner)
         d = jnp.swapaxes(dt, -1, -2)
 
     return jnp.where(d >= 0.5 * BIG, jnp.inf, d)

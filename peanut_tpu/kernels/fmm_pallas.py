@@ -1,0 +1,163 @@
+"""Pallas TPU kernel for the fast-sweeping eikonal block sweep.
+
+The XLA formulation of the blocked sweep (fmm.py::_v_sweep) spends ~30us of
+dispatch/loop overhead per tiny vector op — with nb x inner x ~8 ops of
+sequential structure a (16, 482, 482) solve costs ~700ms.  This kernel runs
+each row-block's inner relaxation entirely in VMEM: one pallas_call per
+directed sweep, sequential TPU grid over row blocks, the previous block's
+boundary row carried in VMEM scratch across grid steps.  Same math as the
+XLA path (segmented min-plus scans + Godunov updates), ~20x faster.
+
+Used automatically on TPU; tests run it in interpreter mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 1.0e10
+
+
+def _seg_scan_lr(d, wall, w: int, reverse: bool):
+    """Hillis-Steele segmented min-plus scan along the last axis (in-VMEM).
+
+    Computes x[i] = min(d[i], x[i-1] + 1) (or the mirrored x[i+1] recurrence
+    for ``reverse``) with walls blocking propagation; see fmm.py::
+    _seg_scan_1d for the affine-min algebra.  No lax.rev (unsupported in
+    Mosaic): the reverse scan shifts from the right instead of flipping.
+    """
+    a = jnp.where(wall, BIG, 1.0)
+    b = jnp.where(wall, BIG, d)
+    s = 1
+    while s < w:
+        pad_a = jnp.full(a.shape[:-1] + (s,), 0.0, a.dtype)
+        pad_b = jnp.full(b.shape[:-1] + (s,), BIG, b.dtype)
+        if not reverse:
+            a_n = jnp.concatenate([pad_a, a[..., :-s]], axis=-1)
+            b_n = jnp.concatenate([pad_b, b[..., :-s]], axis=-1)
+        else:
+            a_n = jnp.concatenate([a[..., s:], pad_a], axis=-1)
+            b_n = jnp.concatenate([b[..., s:], pad_b], axis=-1)
+        # cur outer, neighbour prefix/suffix inner:
+        # (a, b) = (a_cur + a_n, min(b_cur, b_n + a_cur))
+        b = jnp.minimum(b, b_n + a)
+        a = jnp.minimum(a_n + a, BIG)
+        s *= 2
+    return jnp.minimum(d, b)
+
+
+def _godunov(a, b):
+    diff = a - b
+    direct = jnp.minimum(a, b) + 1.0
+    disc = jnp.sqrt(jnp.maximum(2.0 - diff * diff, 0.0))
+    both = 0.5 * (a + b + disc)
+    return jnp.where(jnp.abs(diff) >= 1.0, direct, both)
+
+
+def _sweep_kernel_batched(d_ref, wall_ref, nxt_ref, out_ref, carry_ref,
+                          *, inner: int, w: int, nb: int):
+    """One row-block relaxation step.  Shapes: d/wall/nxt blocks are
+    (Bt, R, W); carry scratch is (Bt, 1, W).  Grid is (batch_tiles, nb)
+    with the row-block index innermost, so the carry resets per tile."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        carry_ref[...] = jnp.full_like(carry_ref, BIG)
+
+    blk = d_ref[...]
+    wall = wall_ref[...] > 0.5
+    top = carry_ref[...]                                # (B, 1, W)
+    # old first row of the NEXT block (garbage-clamped on the last block)
+    is_last = k == nb - 1
+    nxt_first = nxt_ref[:, 0:1, :]
+    bottom = jnp.where(is_last, BIG, nxt_first)
+
+    def body(_, blk):
+        blk = _seg_scan_lr(blk, wall, w, reverse=False)
+        blk = _seg_scan_lr(blk, wall, w, reverse=True)
+        up = jnp.concatenate([top, blk[:, :-1, :]], axis=1)
+        down = jnp.concatenate([blk[:, 1:, :], bottom], axis=1)
+        a = jnp.minimum(up, down)
+        left = jnp.concatenate(
+            [jnp.full(blk.shape[:-1] + (1,), BIG, blk.dtype),
+             blk[..., :-1]], axis=-1)
+        right = jnp.concatenate(
+            [blk[..., 1:],
+             jnp.full(blk.shape[:-1] + (1,), BIG, blk.dtype)], axis=-1)
+        b = jnp.minimum(left, right)
+        cand = _godunov(a, b)
+        return jnp.where(wall, BIG, jnp.minimum(blk, cand))
+
+    blk = jax.lax.fori_loop(0, inner, body, blk)
+    out_ref[...] = blk
+    carry_ref[...] = blk[:, -1:, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "inner", "interpret"))
+def pallas_block_sweep(d, wall, block: int = 16, inner: int = 40,
+                       interpret: bool = False):
+    """One downward directed sweep over (B, H, W) grids (Pallas).
+
+    H must be padded to a multiple of ``block`` by the caller.
+    """
+    bsz, h, w = d.shape
+    nb = h // block
+    wallf = wall.astype(jnp.float32)
+
+    # tile the batch so VMEM stays within budget (~8 live buffers of
+    # bt x block x W f32 plus scan temporaries)
+    bt = bsz
+    while bt > 1 and bt * block * w * 4 > 400_000:
+        bt //= 2
+    pad_b = (-bsz) % bt
+    if pad_b:
+        d = jnp.pad(d, ((0, pad_b), (0, 0), (0, 0)), constant_values=BIG)
+        wallf = jnp.pad(wallf, ((0, pad_b), (0, 0), (0, 0)),
+                        constant_values=1.0)
+    nbt = d.shape[0] // bt
+
+    kernel = functools.partial(_sweep_kernel_batched, inner=inner, w=w,
+                               nb=nb)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nbt, nb),
+        in_specs=[
+            pl.BlockSpec((bt, block, w), lambda t, k: (t, k, 0)),
+            pl.BlockSpec((bt, block, w), lambda t, k: (t, k, 0)),
+            pl.BlockSpec((bt, block, w),
+                         lambda t, k: (t, jnp.minimum(k + 1, nb - 1), 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, block, w), lambda t, k: (t, k, 0)),
+        out_shape=jax.ShapeDtypeStruct(d.shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bt, 1, w), jnp.float32)],
+        interpret=interpret,
+    )(d, wallf, d)
+    return out[:bsz]
+
+
+def v_sweep_pallas(d, wall, reverse: bool, block: int = 16, inner: int = 40,
+                   interpret: bool = False):
+    """Directed sweep with the same contract as fmm._v_sweep (pads H,
+    handles the reverse direction by flipping rows)."""
+    h = d.shape[-2]
+    pad_h = (-h) % block
+    if pad_h:
+        spec = [(0, 0)] * (d.ndim - 2) + [(0, pad_h), (0, 0)]
+        d = jnp.pad(d, spec, constant_values=BIG)
+        wall = jnp.pad(wall, spec, constant_values=True)
+    if reverse:
+        d = jnp.flip(d, axis=-2)
+        wall = jnp.flip(wall, axis=-2)
+    out = pallas_block_sweep(d, wall, block=block, inner=inner,
+                             interpret=interpret)
+    if reverse:
+        out = jnp.flip(out, axis=-2)
+    return out[..., :h, :]
