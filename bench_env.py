@@ -28,7 +28,9 @@ def main():
     from peanut_tpu.envs.batch_runner import BatchRunner
     from peanut_tpu.prediction import PredictionModel
 
-    cfg = NavConfig(use_gt_seg=1 if ns.gt_seg else 0)
+    # fast compute paths (dense splat, windowed warp); exact_parity stays
+    # available for bit-comparable map collection
+    cfg = NavConfig(use_gt_seg=1 if ns.gt_seg else 0, exact_parity=False)
     pm = PredictionModel(cfg)  # full PSPNet-R50 at 720^2 (random weights)
 
     segmenter = None

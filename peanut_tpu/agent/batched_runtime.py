@@ -105,6 +105,7 @@ class BatchedNavRuntime:
         if cfg.only_explore == 0 and prediction_model is None:
             prediction_model = PredictionModel(cfg)
         self.pred_model = prediction_model if cfg.only_explore == 0 else None
+        self.predict_chunk = min(predict_chunk, num_envs)
 
         self.nc = cfg.num_map_channels
         self.Hf = self.Wf = cfg.map_size
@@ -210,8 +211,8 @@ class BatchedNavRuntime:
 
         self.PACK = PACK
 
-        def tick(state: DeviceState, obs_u8, depth_cm, host_pack,
-                 with_prediction: bool):
+        def tick(state: DeviceState, obs_u8, depth_cm, host_pack, trig_idxs,
+                 with_prediction: bool, pred_k: int = 0):
             (poses_new, lmb_old, lmb_new, goal_cats, no_erode, is_toilet,
              trig, preset_cells, preset_override, erode_first, starts,
              loc_new, line_pts, line_valid, col_pts, col_valid) = \
@@ -262,32 +263,38 @@ class BatchedNavRuntime:
             last_goal_valid = state.last_goal_valid
 
             # --- prediction + geodesic value weighting (trigger ticks) ----
+            # runs on a gathered K-env subset (trig_idxs, padded with
+            # repeats) so trigger ticks pay O(K), not O(B)
             if with_prediction and pred_infer is not None:
+                sub = trig_idxs[:pred_k]                    # (K,)
+                trig_s = trig[sub]
+                lmb_s = lmb_new[sub]
+                full_sub = full_maps[sub]                   # (K, nc, Hf, Wf)
                 crop = jax.lax.dynamic_slice(
-                    full_maps, (0, 0, px1, py1),
-                    (full_maps.shape[0], self.nc, pw, pw))
-                probs = pred_infer(crop)                   # (B, 6, pw, pw)
-                bidx = jnp.arange(self.n)
-                chan = probs[bidx, goal_cats]              # (B, pw, pw)
-                pred_full = jnp.zeros((self.n, self.Hf, self.Wf), jnp.float32)
+                    full_sub, (0, 0, px1, py1),
+                    (pred_k, self.nc, pw, pw))
+                probs = pred_infer(crop)                    # (K, 6, pw, pw)
+                chan = probs[jnp.arange(pred_k), goal_cats[sub]]
+                pred_full = jnp.zeros((pred_k, self.Hf, self.Wf), jnp.float32)
                 pred_full = jax.lax.dynamic_update_slice(
                     pred_full, chan, (0, px1, py1))
                 window = B.window_shuttle_in(
-                    pred_full[:, None], lmb_new, self.Hl, self.Wl)[:, 0]
-                cand_tp = window * (local_maps[:, 1] < 0.5)
-                target_pred = jnp.where(trig[:, None, None], cand_tp,
-                                        target_pred)
+                    pred_full[:, None], lmb_s, self.Hl, self.Wl)[:, 0]
+                cand_tp = window * (local_maps[sub, 1] < 0.5)
+                tp_s = jnp.where(trig_s[:, None, None], cand_tp,
+                                 target_pred[sub])
+                target_pred = target_pred.at[sub].set(tp_s)
 
-                # geodesic distance weighting over the full maps
+                # geodesic distance weighting over the subset's full maps
                 trav = jnp.logical_not(B.batch_dilate(
-                    jnp.rint(full_maps[:, 0]), disk(cfg.col_rad)))
-                trav = trav & jnp.logical_not(collision > 0)
-                trav = trav | (visited > 0)
-                agent_r = jnp.clip(loc_new[:, 0] + lmb_new[:, 0],
+                    jnp.rint(full_sub[:, 0]), disk(cfg.col_rad)))
+                trav = trav & jnp.logical_not(collision[sub] > 0)
+                trav = trav | (visited[sub] > 0)
+                agent_r = jnp.clip(loc_new[sub, 0] + lmb_s[:, 0],
                                    0, self.Hf - 1)
-                agent_c = jnp.clip(loc_new[:, 1] + lmb_new[:, 2],
+                agent_c = jnp.clip(loc_new[sub, 1] + lmb_s[:, 2],
                                    0, self.Wf - 1)
-                src = jnp.zeros_like(full_maps[:, 0])
+                src = jnp.zeros_like(full_sub[:, 0])
                 src = jax.vmap(lambda s, r, c: s.at[r, c].set(1.0))(
                     src, agent_r, agent_c)
                 dd = eikonal_distance(trav, src, n_iters=cfg.fmm_sweeps)
@@ -296,23 +303,27 @@ class BatchedNavRuntime:
                 dd = jnp.where(dd == mx, jnp.inf, dd)
                 dd_wt_full = jnp.exp(-dd / temperature)
                 cand_dd = B.window_shuttle_in(
-                    dd_wt_full[:, None], lmb_new, self.Hl, self.Wl)[:, 0]
+                    dd_wt_full[:, None], lmb_s, self.Hl, self.Wl)[:, 0]
                 # stuck-inside-obstacle fallback (agent_state.py:398-399)
-                reuse = (cand_dd.sum(axis=(1, 2)) < 10) & dd_valid
-                cand_dd = jnp.where(reuse[:, None, None], dd_wt, cand_dd)
-                dd_wt = jnp.where(trig[:, None, None], cand_dd, dd_wt)
-                dd_valid = dd_valid | trig
+                reuse = (cand_dd.sum(axis=(1, 2)) < 10) & dd_valid[sub]
+                cand_dd = jnp.where(reuse[:, None, None], dd_wt[sub], cand_dd)
+                dd_s = jnp.where(trig_s[:, None, None], cand_dd, dd_wt[sub])
+                dd_wt = dd_wt.at[sub].set(dd_s)
+                dd_valid = dd_valid.at[sub].set(dd_valid[sub] | trig_s)
 
-                value = target_pred * dd_wt
-                flat = value.reshape(self.n, -1)
+                value = tp_s * dd_s
+                flat = value.reshape(pred_k, -1)
                 idx = jnp.argmax(flat, axis=1).astype(jnp.int32)
                 new_goal = jnp.stack([idx // self.Wl, idx % self.Wl], axis=1)
-                same = jnp.all(new_goal == last_goal, axis=1) & \
-                    last_goal_valid
-                take = trig & jnp.logical_not(same)
-                last_goal = jnp.where(take[:, None], cur_goal, last_goal)
-                last_goal_valid = last_goal_valid | take
-                cur_goal = jnp.where(take[:, None], new_goal, cur_goal)
+                same = jnp.all(new_goal == last_goal[sub], axis=1) & \
+                    last_goal_valid[sub]
+                take = trig_s & jnp.logical_not(same)
+                last_goal = last_goal.at[sub].set(
+                    jnp.where(take[:, None], cur_goal[sub], last_goal[sub]))
+                last_goal_valid = last_goal_valid.at[sub].set(
+                    last_goal_valid[sub] | take)
+                cur_goal = cur_goal.at[sub].set(
+                    jnp.where(take[:, None], new_goal, cur_goal[sub]))
 
             # --- found-goal extraction (update_goal_map) ------------------
             if cfg.only_explore == 0:
@@ -372,8 +383,14 @@ class BatchedNavRuntime:
                 cur_goal.astype(jnp.float32)], axis=1)
             return new_state, packed
 
-        self._tick_with_pred = jax.jit(partial(tick, with_prediction=True),
-                                       donate_argnums=(0,))
+        k_small = min(self.predict_chunk, self.n)
+        self._tick_pred_small = jax.jit(
+            partial(tick, with_prediction=True, pred_k=k_small),
+            donate_argnums=(0,))
+        self._tick_pred_full = jax.jit(
+            partial(tick, with_prediction=True, pred_k=self.n),
+            donate_argnums=(0,)) if k_small < self.n else self._tick_pred_small
+        self._k_small = k_small
         self._tick_no_pred = jax.jit(partial(tick, with_prediction=False),
                                      donate_argnums=(0,))
         # goal_maps needed by the rare magnify fallback
@@ -549,9 +566,21 @@ class BatchedNavRuntime:
         hp[:, 335:351] = self._col_pts.reshape(n, -1)
         hp[:, 351:359] = self._col_valid
 
-        fn = self._tick_with_pred if trig.any() else self._tick_no_pred
+        trig_list = list(np.where(trig)[0])
+        if not trig_list:
+            fn = self._tick_no_pred
+            idxs = np.zeros(self.n, np.int32)
+        elif len(trig_list) <= self._k_small:
+            fn = self._tick_pred_small
+            idxs = np.asarray(
+                (trig_list + [trig_list[-1]] * self.n)[:self.n], np.int32)
+        else:
+            fn = self._tick_pred_full
+            idxs = np.asarray(
+                (trig_list + [trig_list[-1]] * self.n)[:self.n], np.int32)
         self.state, packed = fn(self.state, jnp.asarray(obs_u8),
-                                jnp.asarray(depth_cm), jnp.asarray(hp))
+                                jnp.asarray(depth_cm), jnp.asarray(hp),
+                                jnp.asarray(idxs))
         packed = np.asarray(packed)
         self._clear_pending()
 
