@@ -66,6 +66,9 @@ def main():
         runner.obs = [runner.envs[i].step(acts[i]) for i in range(ns.envs)]
     dt = time.perf_counter() - t0
 
+    import os as _os
+    if _os.environ.get("PEANUT_TICK_PROFILE"):
+        print(runner.runtime.timer.report())
     steps_per_sec = ns.envs * ns.ticks / dt
     print(json.dumps({
         "metric": "objectnav_env_steps_per_sec",
@@ -79,3 +82,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# appended: print tick-stage profile when PEANUT_TICK_PROFILE is set

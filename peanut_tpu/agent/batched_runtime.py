@@ -114,6 +114,8 @@ class BatchedNavRuntime:
         self.presets = [(0.1, 0.1), (0.9, 0.1), (0.9, 0.9), (0.1, 0.9)]
         self.edge_buffer = 10 if cfg.num_sem_categories <= 16 else 40
 
+        from ..utils.profiler import StageTimer
+        self.timer = StageTimer()
         self.slots = [EnvSlot() for _ in range(num_envs)]
         # host shadows of device goal state (for triggers / stamping inputs)
         self.goal_shadow = np.zeros((num_envs, 2), np.int32)
@@ -383,6 +385,47 @@ class BatchedNavRuntime:
                 cur_goal.astype(jnp.float32)], axis=1)
             return new_state, packed
 
+        @jax.jit
+        def replan_program(state: DeviceState, lmb, loc_r, loc_c, flags,
+                           goal_cats, no_erode, found, is_toilet):
+            """Eroded-obstacle re-solve for replan-flagged envs (one jit)."""
+            obstacle = state.local_maps[:, 0]
+            obstacle = jnp.where(
+                flags[:, None, None],
+                B.batch_erode(jnp.rint(obstacle), CROSS).astype(jnp.float32),
+                obstacle)
+            coll_w = B.window_shuttle_in(state.collision[:, None], lmb,
+                                         self.Hl, self.Wl)[:, 0]
+            vis_w = B.window_shuttle_in(state.visited[:, None], lmb,
+                                        self.Hl, self.Wl)[:, 0]
+            trav, _ = B.build_traversible(
+                obstacle, coll_w, vis_w, loc_r, loc_c, int(cfg.col_rad),
+                lmb[:, 2] == 0, lmb[:, 3] == self.Wf,
+                lmb[:, 0] == 0, lmb[:, 1] == self.Hf)
+            # rebuild goal maps from device state
+            bidx = jnp.arange(self.n)
+            cat_maps = state.local_maps[bidx, goal_cats + 4]
+            cat_bin = (cat_maps > 0).astype(jnp.float32)
+            eroded = cat_bin
+            for _ in range(cfg.goal_erode):
+                eroded = B.batch_erode(eroded, CROSS).astype(jnp.float32)
+            eroded = B.batch_dilate(eroded, CROSS).astype(jnp.float32)
+            temp = jnp.where(no_erode[:, None, None], cat_bin, eroded)
+            others = state.local_maps[:, 4:10].sum(axis=1) - cat_maps
+            temp = temp * (others == 0)
+            single = jnp.zeros_like(temp)
+            single = jax.vmap(
+                lambda g, rc: g.at[rc[0], rc[1]].set(1.0))(
+                single, state.cur_goal)
+            goal_maps = jnp.where(found[:, None, None], temp, single)
+            goal_dil = B.dilate_goal(goal_maps, found.astype(jnp.float32),
+                                     is_toilet).astype(jnp.float32)
+            plan = B.plan_distance_fields(trav, goal_dil, loc_r, loc_c,
+                                          n_iters=cfg.fmm_sweeps)
+            return plan.window
+
+        self._replan_program = replan_program
+
         k_small = min(self.predict_chunk, self.n)
         self._tick_pred_small = jax.jit(
             partial(tick, with_prediction=True, pred_k=k_small),
@@ -463,6 +506,7 @@ class BatchedNavRuntime:
     def act_batch(self, observations: Sequence[Dict]) -> List[Dict]:
         cfg = self.cfg
         n = self.n
+        T = self.timer
 
         # ---- host: pose integration + bookkeeping ---------------------
         pose_deltas = np.zeros((n, 3), np.float32)
@@ -538,11 +582,13 @@ class BatchedNavRuntime:
         loc_c = (poses_new[:, 0] * 100.0 / cfg.map_resolution).astype(int)
 
         # planner-frame cells, visited lines, collision points
-        starts, starts_exact = self._planner_cells(lmb_new)
-        self._collect_points(starts, lmb_new)
+        with T.stage("host_points"):
+            starts, starts_exact = self._planner_cells(lmb_new)
+            self._collect_points(starts, lmb_new)
 
         # ---- segmentation + obs packing -------------------------------
-        obs_u8, depth_cm = self._pack_obs(observations, goal_cats)
+        with T.stage("pack_obs"):
+            obs_u8, depth_cm = self._pack_obs(observations, goal_cats)
 
         # ---- one packed f32 upload for every small input ---------------
         no_erode = np.array(["tv" in s.goal_name for s in self.slots])
@@ -578,10 +624,12 @@ class BatchedNavRuntime:
             fn = self._tick_pred_full
             idxs = np.asarray(
                 (trig_list + [trig_list[-1]] * self.n)[:self.n], np.int32)
-        self.state, packed = fn(self.state, jnp.asarray(obs_u8),
-                                jnp.asarray(depth_cm), jnp.asarray(hp),
-                                jnp.asarray(idxs))
-        packed = np.asarray(packed)
+        with T.stage("upload"):
+            args_d = (jnp.asarray(obs_u8), jnp.asarray(depth_cm),
+                      jnp.asarray(hp), jnp.asarray(idxs))
+        with T.stage("tick_program"):
+            self.state, packed = fn(self.state, *args_d)
+            packed = np.asarray(packed)
         self._clear_pending()
 
         k = 11
@@ -593,13 +641,15 @@ class BatchedNavRuntime:
 
         # ---- host: STG extraction + rare fallbacks + action rules ------
         self.last_windows = windows  # debug/vis introspection
-        stg_results = [self._stg_from_window(windows[i], starts_exact[i],
-                                             starts[i]) for i in range(n)]
+        with T.stage("stg"):
+            stg_results = [self._stg_from_window(windows[i], starts_exact[i],
+                                                 starts[i]) for i in range(n)]
         replan_flags = np.array([r[4] for r in stg_results])
         if replan_flags.any():
-            stg_results = self._replan_pass(
-                replan_flags, stg_results, starts, starts_exact, lmb_new,
-                goal_cats, no_erode, is_toilet, poses_new, trig)
+            with T.stage("replan"):
+                stg_results = self._replan_pass(
+                    replan_flags, stg_results, starts, starts_exact, lmb_new,
+                    goal_cats, no_erode, is_toilet, poses_new, trig)
         for i in range(n):
             s = self.slots[i]
             if s.found_goal == 1 and \
@@ -759,63 +809,25 @@ class BatchedNavRuntime:
 
     def _replan_pass(self, flags, stg_results, starts, starts_exact, lmb,
                      goal_cats, no_erode, is_toilet, poses_new, trig):
-        """Second solve with eroded obstacle maps for flagged envs."""
+        """Second solve with eroded obstacle maps for flagged envs (one jit
+        program; eager ops are catastrophically slow on tunneled devices)."""
         cfg = self.cfg
         for i in np.where(flags)[0]:
             if cfg.only_explore:
-                s = self.slots[i]
-                s.preset_id = (s.preset_id + 1) % len(self.presets)
+                sl = self.slots[i]
+                sl.preset_id = (sl.preset_id + 1) % len(self.presets)
 
-        st = self.state
-        loc_r = jnp.asarray(starts[:, 0])
-        loc_c = jnp.asarray(starts[:, 1])
-        lmb_d = jnp.asarray(lmb)
-        obstacle = st.local_maps[:, 0]
-        obstacle = jnp.where(
-            jnp.asarray(flags)[:, None, None],
-            B.batch_erode(jnp.rint(obstacle), CROSS).astype(jnp.float32),
-            obstacle)
-        coll_w = B.window_shuttle_in(st.collision[:, None], lmb_d,
-                                     self.Hl, self.Wl)[:, 0]
-        vis_w = B.window_shuttle_in(st.visited[:, None], lmb_d,
-                                    self.Hl, self.Wl)[:, 0]
-        trav, _ = B.build_traversible(
-            obstacle, coll_w, vis_w, loc_r, loc_c, int(cfg.col_rad),
-            lmb_d[:, 2] == 0, lmb_d[:, 3] == self.Wf,
-            lmb_d[:, 0] == 0, lmb_d[:, 1] == self.Hf)
-        # rebuild goal maps from device state
-        goal_maps = self._current_goal_maps(goal_cats, no_erode)
-        found = np.array([s.found_goal for s in self.slots], np.float32)
-        goal_dil = B.dilate_goal(goal_maps, jnp.asarray(found),
-                                 jnp.asarray(is_toilet)).astype(jnp.float32)
-        plan = B.plan_distance_fields(trav, goal_dil, loc_r, loc_c,
-                                      n_iters=cfg.fmm_sweeps)
-        windows = np.asarray(plan.window)
+        found = np.array([sl.found_goal for sl in self.slots], bool)
+        windows = np.asarray(self._replan_program(
+            self.state, jnp.asarray(lmb), jnp.asarray(starts[:, 0]),
+            jnp.asarray(starts[:, 1]), jnp.asarray(flags),
+            jnp.asarray(goal_cats), jnp.asarray(no_erode),
+            jnp.asarray(found), jnp.asarray(is_toilet)))
         out = list(stg_results)
         for i in np.where(flags)[0]:
             out[i] = self._stg_from_window(windows[i], starts_exact[i],
                                            starts[i])
         return out
-
-    def _current_goal_maps(self, goal_cats, no_erode):
-        st = self.state
-        bidx = jnp.arange(self.n)
-        cat_maps = st.local_maps[bidx, jnp.asarray(goal_cats) + 4]
-        cat_bin = (cat_maps > 0).astype(jnp.float32)
-        eroded = cat_bin
-        for _ in range(self.cfg.goal_erode):
-            eroded = B.batch_erode(eroded, CROSS).astype(jnp.float32)
-        eroded = B.batch_dilate(eroded, CROSS).astype(jnp.float32)
-        temp = jnp.where(jnp.asarray(no_erode)[:, None, None], cat_bin,
-                         eroded)
-        others = st.local_maps[:, 4:10].sum(axis=1) - cat_maps
-        temp = temp * (others == 0)
-        found = jnp.asarray(
-            np.array([s.found_goal for s in self.slots], bool))
-        single = jnp.zeros_like(temp)
-        single = jax.vmap(lambda g, rc: g.at[rc[0], rc[1]].set(1.0))(
-            single, jnp.asarray(self.goal_shadow))
-        return jnp.where(found[:, None, None], temp, single)
 
     def _magnify_goal_fallback(self, i, start, start_exact, result):
         """Host-side goal magnification loop (planner.py:473-489)."""
@@ -841,11 +853,24 @@ class BatchedNavRuntime:
         trav[start[0] - 1:start[0] + 2, start[1] - 1:start[1] + 2] = 1
         trav = np.pad(trav, 1, constant_values=1)
 
-        goal_cats = np.array([hm3d_to_coco[
-            {v: k for k, v in hm3d_names.items()}[s.goal_name]]], np.int32)
-        goal = np.asarray(self._current_goal_maps(
-            np.full(self.n, goal_cats[0], np.int32),
-            np.array(["tv" in s.goal_name] * self.n))[i])
+        # host-side goal-map rebuild for this env (eager device ops are
+        # too slow on tunneled backends for even rare paths)
+        goal_cat = hm3d_to_coco[
+            {v: k for k, v in hm3d_names.items()}[s.goal_name]]
+        local_np = np.asarray(st.local_maps[i])
+        cat_map = (local_np[goal_cat + 4] > 0).astype(float)
+        temp = cat_map
+        if "tv" not in s.goal_name:
+            for _ in range(cfg.goal_erode):
+                temp = np_binary_erosion(temp.astype(bool)).astype(float)
+            temp = np_binary_dilation(temp.astype(bool)).astype(float)
+        others = local_np[4:10].sum(axis=0) - local_np[goal_cat + 4]
+        temp = temp * (others == 0)
+        if s.found_goal and temp.sum() > 0:
+            goal = temp
+        else:
+            goal = np.zeros_like(cat_map)
+            goal[self.goal_shadow[i][0], self.goal_shadow[i][1]] = 1.0
         goal = np.pad(goal, 1, constant_values=0)
         radius = 6 if s.goal_name == "toilet" else 8
         goal_dil = 1 - (np_binary_dilation(goal, disk(radius)) != True)  # noqa: E712
