@@ -689,23 +689,20 @@ class BatchedNavRuntime:
 
         ds = cfg.env_frame_width // cfg.frame_width
 
-        def assemble(i):
-            o = observations[i]
-            d = preprocess_depth(np.asarray(o["depth"]), cfg.min_depth,
-                                 cfg.max_depth)
-            rgb = np.asarray(o["rgb"])
-            sem = sems[i]
-            if ds != 1:
-                rgb = rgb[ds // 2::ds, ds // 2::ds]
-                d = d[ds // 2::ds, ds // 2::ds]
-                sem = sem[ds // 2::ds, ds // 2::ds]
-            obs_u8[i, :3] = rgb.transpose(2, 0, 1)
-            # semantic masks are instance-count accumulations; uint8 is exact
-            obs_u8[i, 3:] = np.clip(sem, 0, 255).astype(np.uint8).transpose(
-                2, 0, 1)
-            depth_cm[i] = d
-
-        list(self._pool.map(assemble, range(self.n)))
+        # vectorized assembly across the whole batch (single numpy passes)
+        rgb_all = np.stack([np.asarray(o["rgb"]) for o in observations])
+        depth_all = np.stack([np.asarray(o["depth"]) for o in observations])
+        sem_all = np.stack(sems)
+        d_all = preprocess_depth(depth_all, cfg.min_depth, cfg.max_depth)
+        if ds != 1:
+            rgb_all = rgb_all[:, ds // 2::ds, ds // 2::ds]
+            d_all = d_all[:, ds // 2::ds, ds // 2::ds]
+            sem_all = sem_all[:, ds // 2::ds, ds // 2::ds]
+        obs_u8[:, :3] = rgb_all.transpose(0, 3, 1, 2)
+        # semantic masks are instance-count accumulations; uint8 is exact
+        obs_u8[:, 3:] = np.clip(sem_all, 0, 255).astype(np.uint8).transpose(
+            0, 3, 1, 2)
+        depth_cm[:] = d_all
         return obs_u8, depth_cm
 
     def _planner_cells(self, lmb):

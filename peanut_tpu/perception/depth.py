@@ -15,16 +15,17 @@ import numpy as np
 
 
 def preprocess_depth(depth: np.ndarray, min_d: float, max_d: float) -> np.ndarray:
-    """depth: (H, W, 1) or (H, W) normalized to [0, 1]; returns (H, W) in cm."""
-    if depth.ndim == 3:
-        depth = depth[:, :, 0]
+    """depth: (..., H, W, 1) or (..., H, W) normalized [0, 1] -> (..., H, W)
+    in cm.  Batched over leading axes (column stats are per-image)."""
+    if depth.shape[-1] == 1:
+        depth = depth[..., 0]
     depth = depth.astype(np.float32).copy()
 
     invalid = depth == 0.0
-    col_invalid_frac = invalid.mean(axis=0)                 # (W,)
-    col_max = depth.max(axis=0)                             # (W,)
-    fill = np.where(col_invalid_frac > 0.9, col_max, 100.0)  # (W,)
-    depth = np.where(invalid, fill[None, :], depth)
+    col_invalid_frac = invalid.mean(axis=-2)                   # (..., W)
+    col_max = depth.max(axis=-2)                               # (..., W)
+    fill = np.where(col_invalid_frac > 0.9, col_max, 100.0)
+    depth = np.where(invalid, fill[..., None, :], depth)
 
     depth[depth > 0.99] = 0.0
     depth[depth == 0.0] = 100.0
