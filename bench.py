@@ -20,7 +20,21 @@ import numpy as np
 BASELINE_MAPS_PER_SEC = 2.48  # mmseg zoo PSPNet-R50-d8 @0.52MPix, V100 fp32
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the runtime's fused programs take
+    minutes to build through the tunnel; cache them across runs."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
+
 def main():
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from peanut_tpu.models import build_segmentor, init_segmentor_params

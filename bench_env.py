@@ -15,7 +15,21 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the runtime's fused programs take
+    minutes to build through the tunnel; cache them across runs."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
+
 def main():
+    _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=16)
     ap.add_argument("--ticks", type=int, default=50)

@@ -192,6 +192,102 @@ def load_checkpoint(path: str, target=None):
     return tree, step
 
 
+def export_encoder_decoder_to_torch(variables, path: str):
+    """Inverse of :func:`convert_encoder_decoder_state`: write the flax
+    variables of a ResNet+PSP/FCN EncoderDecoder back out as an mmseg-format
+    torch ``.pth`` (the reference's publish/interchange format)."""
+    import torch
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd = {}
+
+    def walk(tree, prefix):
+        for key, val in tree.items():
+            if isinstance(val, dict):
+                walk(val, prefix + (key,))
+            else:
+                sd[prefix + (key,)] = np.asarray(val)
+
+    walk(params, ())
+    walk(stats, ())
+
+    out = {}
+    for fpath, arr in sd.items():
+        name = _flax_path_to_torch_name(fpath)
+        if name is None:
+            continue
+        if name.endswith(".weight") and arr.ndim == 4:
+            arr = arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        elif name.endswith(".weight") and arr.ndim == 2:
+            arr = arr.T
+        out[name] = __import__("torch").from_numpy(np.ascontiguousarray(arr))
+    torch.save({"state_dict": out, "meta": {"exported_by": "peanut_tpu"}},
+               path)
+    return sorted(out)
+
+
+def _flax_path_to_torch_name(path):
+    """Map a flax tree path back to the mmseg torch parameter name."""
+    import re as _re
+
+    parts = list(path)
+    if not parts:
+        return None
+    top = parts[0]
+    # backbone stems / layers
+    if top == "backbone":
+        m = _re.match(r"stem(\d)", parts[1]) if len(parts) > 1 else None
+        if m:
+            k = int(m.group(1))
+            if parts[2] == "conv_unit":
+                return f"backbone.stem.{3 * k}.weight"
+            leaf = parts[-1]
+            suffix = {"scale": "weight", "bias": "bias",
+                      "mean": "running_mean", "var": "running_var"}[leaf]
+            return f"backbone.stem.{3 * k + 1}.{suffix}"
+        m = _re.match(r"layer(\d+)_(\d+)", parts[1]) if len(parts) > 1 else None
+        if m:
+            li, bj = m.group(1), m.group(2)
+            part = parts[2]
+            leaf = parts[-1]
+            if part.startswith("conv"):
+                return f"backbone.layer{li}.{bj}.{part}.weight"
+            if part == "downsample_conv":
+                return f"backbone.layer{li}.{bj}.downsample.0.weight"
+            bn_suffix = {"scale": "weight", "bias": "bias",
+                         "mean": "running_mean", "var": "running_var"}[leaf]
+            if part == "downsample_bn":
+                return f"backbone.layer{li}.{bj}.downsample.1.{bn_suffix}"
+            return f"backbone.layer{li}.{bj}.{part}.{bn_suffix}"
+        return None
+    if top in ("decode_head", "auxiliary_head"):
+        sub = parts[1]
+        leaf = parts[-1]
+        bn_suffix = {"scale": "weight", "bias": "bias",
+                     "mean": "running_mean", "var": "running_var"}.get(leaf)
+        m = _re.match(r"ppm(\d+)", sub)
+        if m:
+            i = m.group(1)
+            if parts[2] == "conv_unit":
+                return f"{top}.psp_modules.{i}.1.conv.weight"
+            return f"{top}.psp_modules.{i}.1.bn.{bn_suffix}"
+        m = _re.match(r"convs(\d+)", sub)
+        if m:
+            i = m.group(1)
+            if parts[2] == "conv_unit":
+                return f"{top}.convs.{i}.conv.weight"
+            return f"{top}.convs.{i}.bn.{bn_suffix}"
+        if sub == "bottleneck":
+            if parts[2] == "conv_unit":
+                return f"{top}.bottleneck.conv.weight"
+            return f"{top}.bottleneck.bn.{bn_suffix}"
+        if sub == "conv_seg":
+            return f"{top}.conv_seg.{'weight' if leaf == 'kernel' else 'bias'}"
+        return None
+    return None
+
+
 def find_latest_checkpoint(work_dir: str):
     """Locate the newest iter_*/ checkpoint in a work dir (mmseg
     misc.py:find_latest_checkpoint parity for resume)."""
