@@ -27,11 +27,12 @@ logger = logging.getLogger("peanut_tpu")
 class IterRunner:
     def __init__(self, step_fn, state: TrainState, loader: Iterable,
                  cfg: TrainConfig, work_dir: str,
-                 auto_resume: bool = True):
+                 auto_resume: bool = True, eval_hook=None):
         self.step_fn = step_fn
         self.state = state
         self.loader = loader
         self.cfg = cfg
+        self.eval_hook = eval_hook  # prediction.metrics.EvalHook or None
         self.work_dir = work_dir
         os.makedirs(work_dir, exist_ok=True)
         self.log_path = os.path.join(work_dir, "train_log.jsonl")
@@ -72,6 +73,13 @@ class IterRunner:
                 logger.info("%s", rec)
                 with open(self.log_path, "a") as f:
                     f.write(json.dumps(rec) + "\n")
+
+            if self.eval_hook is not None:
+                res = self.eval_hook.maybe_run(it, self.state)
+                if res:
+                    logger.info("eval@%d: %s", it, res)
+                    with open(self.log_path, "a") as f:
+                        f.write(json.dumps({"iter": it, "eval": res}) + "\n")
 
             if it % cfg.checkpoint_interval == 0 or it == max_iters:
                 path = os.path.join(self.work_dir, f"iter_{it}")
