@@ -31,6 +31,8 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=5e-4)
     parser.add_argument("--crop_size", type=int, default=960)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--log_interval", type=int, default=500)
+    parser.add_argument("--checkpoint_interval", type=int, default=2000)
     parser.add_argument("--num_workers", type=int, default=8)
     parser.add_argument("--no_resume", action="store_true")
     ns, _ = parser.parse_known_args(argv)
@@ -48,7 +50,9 @@ def main(argv=None):
                                     make_train_step, poly_schedule)
 
     tcfg = TrainConfig(lr=ns.lr, max_iters=ns.max_iters,
-                       batch_size=ns.batch_size, seed=ns.seed)
+                       batch_size=ns.batch_size, seed=ns.seed,
+                       log_interval=ns.log_interval,
+                       checkpoint_interval=ns.checkpoint_interval)
 
     rng = np.random.RandomState(ns.seed)
     dataset = SemMapDataset(ns.data_root, ns.img_dir,

@@ -10,6 +10,7 @@ preserving the reference's fake-component testing pattern.
 from . import layers  # noqa: F401
 from . import resnet  # noqa: F401
 from . import heads  # noqa: F401
+from . import heads_attention  # noqa: F401
 from . import losses  # noqa: F401
 from . import losses_extra  # noqa: F401
 from . import encoder_decoder  # noqa: F401

@@ -27,12 +27,16 @@ logger = logging.getLogger("peanut_tpu")
 class IterRunner:
     def __init__(self, step_fn, state: TrainState, loader: Iterable,
                  cfg: TrainConfig, work_dir: str,
-                 auto_resume: bool = True, eval_hook=None):
+                 auto_resume: bool = True, eval_hook=None, loggers=None):
         self.step_fn = step_fn
         self.state = state
         self.loader = loader
         self.cfg = cfg
         self.eval_hook = eval_hook  # prediction.metrics.EvalHook or None
+        if loggers is None:
+            from ..utils.loggers import TextLoggerHook
+            loggers = [TextLoggerHook()]
+        self.loggers = loggers
         self.work_dir = work_dir
         os.makedirs(work_dir, exist_ok=True)
         self.log_path = os.path.join(work_dir, "train_log.jsonl")
@@ -70,7 +74,8 @@ class IterRunner:
                 rec = {"iter": it, "time_per_iter": round(1.0 / ips, 4),
                        "eta_min": round(eta_s / 60, 1), **
                        {k: round(v, 5) for k, v in means.items()}}
-                logger.info("%s", rec)
+                for hook in self.loggers:
+                    hook.log(rec)
                 with open(self.log_path, "a") as f:
                     f.write(json.dumps(rec) + "\n")
 
