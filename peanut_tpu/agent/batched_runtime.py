@@ -10,7 +10,8 @@ no reference counterpart — the reference steps ONE habitat env per process
     geodesic planning solve — is ONE jit program (two variants: with /
     without the prediction branch), so each tick costs one dispatch + one
     packed download regardless of batch size;
-  * observations upload as uint8 (rgb+semantics) + f32 depth and expand on
+  * observations upload as uint8 semantics + f32 depth only (rgb is unused
+    by the mapping pipeline and zero-filled on device) and expand on
     device — 3x less host->device traffic;
   * pose integration runs HOST-side (numpy f32 twin shared with the
     single-env agent), so the host state machines and the device programs
@@ -213,21 +214,26 @@ class BatchedNavRuntime:
 
         self.PACK = PACK
 
-        def tick(state: DeviceState, obs_u8, depth_cm, host_pack, trig_idxs,
+        def tick(state: DeviceState, sem_u8, depth_cm, host_pack, trig_idxs,
                  with_prediction: bool, pred_k: int = 0):
             (poses_new, lmb_old, lmb_new, goal_cats, no_erode, is_toilet,
              trig, preset_cells, preset_override, erode_first, starts,
              loc_new, line_pts, line_valid, col_pts, col_valid) = \
                 unpack(host_pack)
-            rgb_u8 = obs_u8[:, :3]
-            sem_u8 = obs_u8[:, 3:]
+
             # --- pending point scatters (visited path / collisions) -------
             visited = scatter_pts(state.visited, line_pts, line_valid)
             collision = scatter_pts(state.collision, col_pts, col_valid)
 
             # --- observation assembly + fused map update ------------------
+            # rgb channels are dead weight at runtime (the mapper reads
+            # only depth + semantics; reference keeps rgb in the state
+            # tensor for unused policy nets) — zero-fill on device instead
+            # of uploading them
+            zeros_rgb = jnp.zeros(
+                (sem_u8.shape[0], 3) + sem_u8.shape[2:], jnp.float32)
             obs = jnp.concatenate([
-                rgb_u8.astype(jnp.float32),
+                zeros_rgb,
                 depth_cm[:, None, :, :],
                 sem_u8.astype(jnp.float32)], axis=1)
             _, local_maps, _ = self.mapper.update_core(
@@ -588,7 +594,7 @@ class BatchedNavRuntime:
 
         # ---- segmentation + obs packing -------------------------------
         with T.stage("pack_obs"):
-            obs_u8, depth_cm = self._pack_obs(observations, goal_cats)
+            sem_u8, depth_cm = self._pack_obs(observations, goal_cats)
 
         # ---- one packed f32 upload for every small input ---------------
         no_erode = np.array(["tv" in s.goal_name for s in self.slots])
@@ -625,7 +631,7 @@ class BatchedNavRuntime:
             idxs = np.asarray(
                 (trig_list + [trig_list[-1]] * self.n)[:self.n], np.int32)
         with T.stage("upload"):
-            args_d = (jnp.asarray(obs_u8), jnp.asarray(depth_cm),
+            args_d = (jnp.asarray(sem_u8), jnp.asarray(depth_cm),
                       jnp.asarray(hp), jnp.asarray(idxs))
         with T.stage("tick_program"):
             self.state, packed = fn(self.state, *args_d)
@@ -670,7 +676,7 @@ class BatchedNavRuntime:
         cfg = self.cfg
         n = self.n
         fh, fw = cfg.frame_height, cfg.frame_width
-        obs_u8 = np.zeros((n, 3 + cfg.num_sem_categories, fh, fw), np.uint8)
+        sem_u8 = np.zeros((n, cfg.num_sem_categories, fh, fw), np.uint8)
         depth_cm = np.zeros((n, fh, fw), np.float32)
 
         if hasattr(self.segmenter, "batch"):
@@ -690,20 +696,17 @@ class BatchedNavRuntime:
         ds = cfg.env_frame_width // cfg.frame_width
 
         # vectorized assembly across the whole batch (single numpy passes)
-        rgb_all = np.stack([np.asarray(o["rgb"]) for o in observations])
         depth_all = np.stack([np.asarray(o["depth"]) for o in observations])
         sem_all = np.stack(sems)
         d_all = preprocess_depth(depth_all, cfg.min_depth, cfg.max_depth)
         if ds != 1:
-            rgb_all = rgb_all[:, ds // 2::ds, ds // 2::ds]
             d_all = d_all[:, ds // 2::ds, ds // 2::ds]
             sem_all = sem_all[:, ds // 2::ds, ds // 2::ds]
-        obs_u8[:, :3] = rgb_all.transpose(0, 3, 1, 2)
         # semantic masks are instance-count accumulations; uint8 is exact
-        obs_u8[:, 3:] = np.clip(sem_all, 0, 255).astype(np.uint8).transpose(
+        sem_u8[:] = np.clip(sem_all, 0, 255).astype(np.uint8).transpose(
             0, 3, 1, 2)
         depth_cm[:] = d_all
-        return obs_u8, depth_cm
+        return sem_u8, depth_cm
 
     def _planner_cells(self, lmb):
         cfg = self.cfg

@@ -31,9 +31,14 @@ def main(argv=None):
     NavConfig.add_args(parser)
     parser.add_argument("--fake_env", type=int, default=0)
     parser.add_argument("--num_episodes", type=int, default=500)
+    parser.add_argument("--ticks", type=int, default=0,
+                        help="tick budget for batched mode (0 = derive)")
     ns, _ = parser.parse_known_args(argv)
     cfg = NavConfig.from_args(argv)
     cfg = cfg.replace(only_explore=0)
+
+    if cfg.num_envs > 1:
+        return run_batched(cfg, ns)
 
     env = make_env(cfg, ns.fake_env)
     agent = PeanutAgent(cfg)
@@ -73,6 +78,30 @@ def main(argv=None):
             print("-" * 40)
             sys.stdout.flush()
         ep_i += 1
+
+
+def run_batched(cfg: NavConfig, ns):
+    """Parallel-episode evaluation: N envs through the batched runtime
+    (the TPU-native throughput path; no reference counterpart)."""
+    from ..envs.batch_runner import BatchRunner
+
+    def env_fn(i):
+        if ns.fake_env:
+            from ..envs import FakeNavEnv
+            return lambda: FakeNavEnv(cfg, seed=100 + i)
+        from ..envs.habitat_adapter import HabitatEnvAdapter
+        return lambda: HabitatEnvAdapter(cfg, split="val", seed=100 + i)
+
+    runner = BatchRunner(cfg, [env_fn(i) for i in range(cfg.num_envs)])
+    ticks = ns.ticks or (ns.num_episodes * cfg.max_episode_length
+                         // max(cfg.num_envs, 1))
+    summary = runner.run(max_ticks=ticks, max_episodes=ns.num_episodes)
+    print(summary)
+    if "success" in summary:
+        print("Average Success: %.4f, Average SPL: %.4f"
+              % (summary["success"], summary["spl"]))
+    sys.stdout.flush()
+    return summary
 
 
 if __name__ == "__main__":

@@ -113,10 +113,13 @@ def pallas_block_sweep(d, wall, block: int = 16, inner: int = 40,
     wallf = wall.astype(jnp.float32)
 
     # tile the batch so VMEM stays within budget (~8 live buffers of
-    # bt x block x W f32 plus scan temporaries)
-    bt = bsz
-    while bt > 1 and bt * block * w * 4 > 400_000:
-        bt //= 2
+    # bt x block x W f32 plus scan temporaries); power-of-two tiles only,
+    # and single-env tiles for narrow grids (Mosaic miscompiles batched
+    # blocks at small W — "Check failed: d >> 32 == 0" in lower_to_llo)
+    bt = 1
+    if w > 256:
+        while bt * 2 <= bsz and bt * 2 * block * w * 4 <= 400_000:
+            bt *= 2
     pad_b = (-bsz) % bt
     if pad_b:
         d = jnp.pad(d, ((0, pad_b), (0, 0), (0, 0)), constant_values=BIG)
@@ -147,10 +150,13 @@ def v_sweep_pallas(d, wall, reverse: bool, block: int = 16, inner: int = 40,
                    interpret: bool = False):
     """Directed sweep with the same contract as fmm._v_sweep (pads H,
     handles the reverse direction by flipping rows)."""
-    h = d.shape[-2]
+    h, w0 = d.shape[-2], d.shape[-1]
     pad_h = (-h) % block
-    if pad_h:
-        spec = [(0, 0)] * (d.ndim - 2) + [(0, pad_h), (0, 0)]
+    # lane-align the row width: Mosaic aborts on batched blocks narrower
+    # than one 128-lane tile; wall-padding is semantically inert
+    pad_w = (-w0) % 128
+    if pad_h or pad_w:
+        spec = [(0, 0)] * (d.ndim - 2) + [(0, pad_h), (0, pad_w)]
         d = jnp.pad(d, spec, constant_values=BIG)
         wall = jnp.pad(wall, spec, constant_values=True)
     if reverse:
@@ -160,4 +166,4 @@ def v_sweep_pallas(d, wall, reverse: bool, block: int = 16, inner: int = 40,
                              interpret=interpret)
     if reverse:
         out = jnp.flip(out, axis=-2)
-    return out[..., :h, :]
+    return out[..., :h, :w0]
