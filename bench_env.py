@@ -44,7 +44,8 @@ def main():
 
     # fast compute paths (dense splat, windowed warp); exact_parity stays
     # available for bit-comparable map collection
-    cfg = NavConfig(use_gt_seg=1 if ns.gt_seg else 0, exact_parity=False)
+    cfg = NavConfig(use_gt_seg=1 if ns.gt_seg else 0, exact_parity=False,
+                    serve_bf16=True)
     pm = PredictionModel(cfg)  # full PSPNet-R50 at 720^2 (random weights)
 
     segmenter = None

@@ -57,7 +57,10 @@ class PeanutAgent:
         info["goal_name"] = hm3d_names[goal]
         goal = hm3d_to_coco[goal]
 
-        if self.cfg.use_gt_seg and isinstance(self.segmenter, GroundTruthSegmenter):
+        if hasattr(self.segmenter, "set_observation"):
+            self.segmenter.set_observation(observations)
+        elif self.cfg.use_gt_seg and isinstance(self.segmenter,
+                                                GroundTruthSegmenter):
             self.segmenter.goalseg = observations.get("goalseg")
 
         obs = self._preprocess_obs(observations["rgb"], observations["depth"],

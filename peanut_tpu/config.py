@@ -89,6 +89,7 @@ class NavConfig:
     # --- TPU-framework-specific knobs (no reference counterpart) ---
     num_envs: int = 1            # parallel episodes batched on device
     exact_parity: bool = True    # bit-faithful splat rounding vs. fast path
+    serve_bf16: bool = False     # cast CNN weights/activations for serving
     fmm_sweeps: int = 2          # fast-sweeping iterations for eikonal solve
     platform: Optional[str] = None  # force jax platform (tests use "cpu")
 

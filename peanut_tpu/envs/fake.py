@@ -57,14 +57,26 @@ class FakeNavEnv:
         # agent pose: x (m), y (m), heading (rad, 0 = +x)
         self.pose = np.array([self.size / 2, self.size / 2, 0.0])
         self.start_pose = self.pose.copy()
-        # place the goal object somewhere free, away from the agent
-        while True:
-            gx, gy = self.rng.rand(2) * (self.size - 2) + 1
-            if not self._occupied(gx, gy) and \
-                    np.hypot(gx - self.pose[0], gy - self.pose[1]) > 3.0:
-                self.goal_pos = np.array([gx, gy])
-                break
+        # place semantic objects (map categories 0..8) in free space; the
+        # first one is the episode goal
+        self.objects = []  # (x, y, category)
         self.goal_id = self.rng.randint(0, 6)
+        from ..constants import hm3d_to_coco
+
+        goal_cat = hm3d_to_coco[self.goal_id]
+        n_objects = 8
+        while len(self.objects) < n_objects:
+            gx, gy = self.rng.rand(2) * (self.size - 2) + 1
+            if self._occupied(gx, gy):
+                continue
+            if not self.objects:
+                if np.hypot(gx - self.pose[0], gy - self.pose[1]) <= 3.0:
+                    continue
+                cat = goal_cat
+            else:
+                cat = self.rng.randint(0, 9)
+            self.objects.append((gx, gy, cat))
+        self.goal_pos = np.array([self.objects[0][0], self.objects[0][1]])
         return self._obs()
 
     def _occupied(self, x, y) -> bool:
@@ -102,21 +114,29 @@ class FakeNavEnv:
 
         rgb = np.full((h, w, 3), 127, np.uint8)
 
-        # ground-truth goal segmentation: visible + within range
-        goalseg = np.zeros((h, w), np.float32)
-        gvec = self.goal_pos - self.pose[:2]
-        gdist = np.hypot(*gvec)
-        gang = np.arctan2(gvec[1], gvec[0])
-        rel = (gang - self.pose[2] + np.pi) % (2 * np.pi) - np.pi
-        if abs(rel) < half and cfg.min_depth < gdist < cfg.max_depth:
-            col = int((half - rel) / (2 * half) * (w - 1))
-            ray_d = self._raycast(np.array([gang]))[0]
-            if ray_d > gdist - 0.1:  # not behind a wall
-                cw = max(3, int(0.4 / gdist * w / (2 * half)))
-                goalseg[h // 3:2 * h // 3,
-                        max(0, col - cw):min(w, col + cw)] = 1.0
-                rgb[h // 3:2 * h // 3,
-                    max(0, col - cw):min(w, col + cw)] = (200, 40, 40)
+        # ground-truth segmentation: every visible in-range object paints
+        # its category channel; 'goalseg' keeps the reference contract
+        # (goal category only), 'gtsem' is the full (H, W, 10) stack
+        gtsem = np.zeros((h, w, 10), np.float32)
+        from ..constants import hm3d_to_coco
+
+        goal_cat = hm3d_to_coco[self.goal_id]
+        for ox, oy, cat in self.objects:
+            gvec = np.array([ox, oy]) - self.pose[:2]
+            gdist = np.hypot(*gvec)
+            gang = np.arctan2(gvec[1], gvec[0])
+            rel = (gang - self.pose[2] + np.pi) % (2 * np.pi) - np.pi
+            if abs(rel) < half and cfg.min_depth < gdist < cfg.max_depth:
+                col = int((half - rel) / (2 * half) * (w - 1))
+                ray_d = self._raycast(np.array([gang]))[0]
+                if ray_d > gdist - 0.1:  # not behind a wall
+                    cw = max(3, int(0.4 / gdist * w / (2 * half)))
+                    gtsem[h // 3:2 * h // 3,
+                          max(0, col - cw):min(w, col + cw), cat] = 1.0
+                    color = (40 + 20 * cat, 200 - 15 * cat, 40)
+                    rgb[h // 3:2 * h // 3,
+                        max(0, col - cw):min(w, col + cw)] = color
+        goalseg = gtsem[:, :, goal_cat].copy()
 
         # habitat gps convention: x forward-ish, see peanut_agent.py:77-84
         gps = np.array([self.pose[0] - self.start_pose[0],
@@ -129,6 +149,7 @@ class FakeNavEnv:
             "compass": compass,
             "objectgoal": np.array([self.goal_id]),
             "goalseg": goalseg,
+            "gtsem": gtsem,
         }
 
     # ------------------------------------------------------------------

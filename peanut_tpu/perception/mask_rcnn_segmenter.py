@@ -53,15 +53,30 @@ class MaskRCNNSegmenter:
             sd = load_torch_state_dict(cfg.seg_model_wts)  # may raise
             self.variables = convert_d2_maskrcnn_state(sd)
 
+        if cfg.serve_bf16:
+            self.variables = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                self.variables)
+        serve_dtype = jnp.bfloat16 if cfg.serve_bf16 else jnp.float32
+
+        def _to_f32(det):
+            return {k: v.astype(jnp.float32) if v.dtype == jnp.bfloat16
+                    else v for k, v in det.items()}
+
         @jax.jit
         def _detect(variables, img):
-            return self.model.apply(variables, img, method=self.model.detect)
+            det = self.model.apply(variables, img.astype(serve_dtype),
+                                   method=self.model.detect)
+            return _to_f32(det)
 
         @jax.jit
         def _detect_batch(variables, imgs):
-            return jax.vmap(
-                lambda im: self.model.apply(variables, im,
+            det = jax.vmap(
+                lambda im: self.model.apply(variables,
+                                            im.astype(serve_dtype),
                                             method=self.model.detect))(imgs)
+            return _to_f32(det)
 
         self._detect = _detect
         self._detect_batch = _detect_batch

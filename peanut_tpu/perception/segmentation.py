@@ -68,6 +68,24 @@ class GroundTruthSegmenter:
         return out
 
 
+class FullGTSegmenter:
+    """use_gt_seg=2: full multi-category ground truth (synthetic envs /
+    oracle ablations).  Consumes the env's (H, W, n_cats+1) 'gtsem' stack."""
+
+    def __init__(self, cfg: NavConfig):
+        self.n_cats = cfg.num_sem_categories - 1
+        self.gtsem: Optional[np.ndarray] = None
+
+    def set_observation(self, obs) -> None:
+        self.gtsem = obs.get("gtsem")
+
+    def __call__(self, rgb, depth=None, goal_cat=None):
+        h, w = rgb.shape[:2]
+        if self.gtsem is not None:
+            return np.asarray(self.gtsem, np.float32)
+        return np.zeros((h, w, self.n_cats + 1), np.float32)
+
+
 class ZeroSegmenter:
     """No-semantics fallback (exploration-only collection without GT)."""
 
@@ -81,6 +99,8 @@ class ZeroSegmenter:
 
 def build_segmenter(cfg: NavConfig) -> Segmenter:
     """Pick the segmentation backend for a run."""
+    if cfg.use_gt_seg == 2:
+        return FullGTSegmenter(cfg)
     if cfg.use_gt_seg:
         return GroundTruthSegmenter(cfg)
     try:

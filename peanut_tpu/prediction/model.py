@@ -46,11 +46,21 @@ class PredictionModel:
                     self.model, (1, size, size,
                                  4 + cfg.num_sem_categories))
 
+        if cfg.serve_bf16:
+            # MXU-native serving: bf16 weights/activations, f32 sigmoid out
+            self.variables = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                self.variables)
+
+        serve_dtype = jnp.bfloat16 if cfg.serve_bf16 else jnp.float32
+
         @jax.jit
         def _infer(variables, chw_maps):
-            nhwc = jnp.transpose(chw_maps, (0, 2, 3, 1))
+            nhwc = jnp.transpose(chw_maps, (0, 2, 3, 1)).astype(serve_dtype)
             logits = self.model.apply(variables, nhwc,
                                       method=self.model.inference)
+            logits = logits.astype(jnp.float32)
             return jax.nn.sigmoid(jnp.transpose(logits, (0, 3, 1, 2)))
 
         self._infer = _infer
