@@ -11,9 +11,12 @@ from . import layers  # noqa: F401
 from . import resnet  # noqa: F401
 from . import heads  # noqa: F401
 from . import heads_attention  # noqa: F401
+from . import heads_zoo  # noqa: F401
+from . import necks  # noqa: F401
 from . import losses  # noqa: F401
 from . import losses_extra  # noqa: F401
 from . import encoder_decoder  # noqa: F401
+from . import cascade  # noqa: F401
 from . import fpn  # noqa: F401
 from . import mobilenet  # noqa: F401
 from . import mit  # noqa: F401
