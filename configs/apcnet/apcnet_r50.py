@@ -1,0 +1,9 @@
+# APCNet over ResNetV1c-50-d8 (zoo)
+_base_ = "../_base_/models/pspnet_r50.py"
+model = dict(
+    decode_head=dict(
+        _delete_=True,
+        type="APCHead", in_channels=2048, in_index=3, channels=512,
+        pool_scales=(1, 2, 3, 6), num_classes=19, dropout_ratio=0.1,
+        align_corners=False),
+)

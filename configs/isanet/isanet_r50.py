@@ -1,0 +1,9 @@
+# ISANet over ResNetV1c-50-d8 (zoo)
+_base_ = "../_base_/models/pspnet_r50.py"
+model = dict(
+    decode_head=dict(
+        _delete_=True,
+        type="ISAHead", in_channels=2048, in_index=3, channels=512,
+        isa_channels=256, down_factor=(8, 8), num_classes=19,
+        dropout_ratio=0.1, align_corners=False),
+)

@@ -25,6 +25,7 @@ class Conv2d(nn.Module):
     padding: Union[int, Tuple[int, int]] = 0
     dilation: Union[int, Tuple[int, int]] = 1
     use_bias: bool = True
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -38,6 +39,7 @@ class Conv2d(nn.Module):
             strides=s,
             padding=((p[0], p[0]), (p[1], p[1])),
             kernel_dilation=d,
+            feature_group_count=self.groups,
             use_bias=self.use_bias,
             dtype=x.dtype,
             name="conv")(x)

@@ -25,6 +25,8 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     downsample: bool = False
     style: str = "pytorch"
+    groups: int = 1              # >1 = ResNeXt grouped 3x3
+    base_width: int = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -33,12 +35,17 @@ class Bottleneck(nn.Module):
             s1, s2 = 1, self.stride
         else:  # caffe style: stride on the 1x1
             s1, s2 = self.stride, 1
+        if self.groups == 1:
+            width = self.planes
+        else:  # resnext.py width rule
+            width = int(self.planes * (self.base_width / 64)) * self.groups
 
-        out = Conv2d(self.planes, 1, stride=s1, use_bias=False, name="conv1")(x)
+        out = Conv2d(width, 1, stride=s1, use_bias=False, name="conv1")(x)
         out = BatchNorm(name="bn1")(out, train=train)
         out = nn.relu(out)
-        out = Conv2d(self.planes, 3, stride=s2, padding=self.dilation,
-                     dilation=self.dilation, use_bias=False, name="conv2")(out)
+        out = Conv2d(width, 3, stride=s2, padding=self.dilation,
+                     dilation=self.dilation, groups=self.groups,
+                     use_bias=False, name="conv2")(out)
         out = BatchNorm(name="bn2")(out, train=train)
         out = nn.relu(out)
         out = Conv2d(self.planes * 4, 1, use_bias=False, name="conv3")(out)
@@ -99,6 +106,8 @@ class ResNet(nn.Module):
     avg_down: bool = False
     contract_dilation: bool = False
     norm_eval: bool = False
+    groups: int = 1              # ResNeXt cardinality
+    base_width: int = 4          # ResNeXt width per group
     pretrained: str | None = None  # accepted for config parity; unused
 
     @nn.compact
@@ -136,13 +145,15 @@ class ResNet(nn.Module):
                     d = dilation // 2
                 else:
                     d = dilation
+                extra = (dict(groups=self.groups, base_width=self.base_width)
+                         if block_cls is Bottleneck else {})
                 x = block_cls(
                     planes=planes,
                     stride=stride if first else 1,
                     dilation=d if first else dilation,
                     downsample=needs_down,
                     style=self.style,
-                    name=f"layer{i + 1}_{j}")(x, train=train)
+                    name=f"layer{i + 1}_{j}", **extra)(x, train=train)
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)
@@ -152,3 +163,11 @@ class ResNet(nn.Module):
 class ResNetV1c(ResNet):
     """ResNet with the deep (3x conv3x3) stem — the PEANUT backbone."""
     deep_stem: bool = True
+
+
+@BACKBONES.register()
+class ResNeXt(ResNet):
+    """ResNeXt (reference resnext.py): grouped 3x3 bottleneck convs.
+    Standard configs: groups=32, base_width=4 (resnext50_32x4d)."""
+    groups: int = 32
+    base_width: int = 4

@@ -23,14 +23,23 @@ SHRINK = {
 
 
 def shrink_cfg(model_cfg):
-    cfg = {k: (dict(v) if isinstance(v, dict) else v)
-           for k, v in model_cfg.items()}
+    def copy(v):
+        if isinstance(v, dict):
+            return dict(v)
+        if isinstance(v, list):
+            return [copy(e) for e in v]
+        return v
+
+    cfg = {k: copy(v) for k, v in model_cfg.items()}
     btype = cfg["backbone"].get("type")
-    if btype in SHRINK:
+    # configs that size their backbone explicitly are already CI-small
+    if btype in SHRINK and "base_channels" not in cfg["backbone"]:
         cfg["backbone"].update(SHRINK[btype])
         for head_key in ("decode_head", "auxiliary_head"):
-            if head_key in cfg and cfg.get(head_key):
-                h = cfg[head_key]
+            heads = cfg.get(head_key)
+            if not heads:
+                continue
+            for h in heads if isinstance(heads, list) else [heads]:
                 scale = 16 / 64
                 if isinstance(h.get("in_channels"), (list, tuple)):
                     h["in_channels"] = tuple(
@@ -40,6 +49,9 @@ def shrink_cfg(model_cfg):
                 if "c1_in_channels" in h:
                     h["c1_in_channels"] = int(h["c1_in_channels"] * scale)
                 h["channels"] = max(int(h.get("channels", 64) * scale), 8)
+                if "ema_channels" in h:
+                    h["ema_channels"] = max(
+                        int(h["ema_channels"] * scale), 8)
     return cfg
 
 
@@ -50,7 +62,8 @@ def test_zoo_config_forward(path):
     cfg = load_config(path)
     model_cfg = shrink_cfg(cfg["model"])
     in_ch = model_cfg["backbone"].get("in_channels", 3)
-    num_classes = model_cfg["decode_head"]["num_classes"]
+    dh = model_cfg["decode_head"]
+    num_classes = (dh[-1] if isinstance(dh, list) else dh)["num_classes"]
     model = build_segmentor(model_cfg)
     x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, in_ch)
                     .astype(np.float32))
