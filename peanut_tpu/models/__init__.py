@@ -24,6 +24,8 @@ from . import unet  # noqa: F401
 from . import hrnet  # noqa: F401
 from . import vit  # noqa: F401
 from . import backbones_zoo  # noqa: F401
+from . import knet  # noqa: F401
+from . import timm_adapter  # noqa: F401
 from .builder import build_segmentor, init_segmentor_params
 from .encoder_decoder import EncoderDecoder
 from .ops import resize_bilinear, adaptive_avg_pool

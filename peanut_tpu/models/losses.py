@@ -133,3 +133,24 @@ class DiceLoss:
                       axis=dims) + self.smooth
         loss = 1 - num / den
         return self.loss_weight * _reduce(loss, weight, reduction, avg_factor)
+
+
+def accuracy(pred, target, topk=1, thresh=None, ignore_index=None):
+    """Top-k pixel accuracy (reference mmseg/models/losses/accuracy.py):
+    pred (..., C) logits, target (...) int labels.  Returns scalar(s) in
+    [0, 100]; a prediction only counts if its score exceeds ``thresh``
+    when given.  ``topk`` may be an int or tuple of ints."""
+    topks = (topk,) if isinstance(topk, int) else tuple(topk)
+    maxk = max(topks)
+    scores, idx = jax.lax.top_k(pred, maxk)              # (..., maxk)
+    correct = idx == target[..., None]
+    if thresh is not None:
+        correct = correct & (scores > thresh)
+    if ignore_index is not None:
+        valid = target != ignore_index
+        correct = correct & valid[..., None]
+        denom = jnp.maximum(valid.sum(), 1)
+    else:
+        denom = target.size
+    accs = [100.0 * jnp.sum(correct[..., :k]) / denom for k in topks]
+    return accs[0] if isinstance(topk, int) else tuple(accs)

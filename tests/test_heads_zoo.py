@@ -176,3 +176,37 @@ def test_cascade_pointrend_inference():
     logits = model.apply(variables, x, method=model.inference)
     assert logits.shape == (1, 32, 32, 5)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_knet_head_forward():
+    _run_head("IterativeDecodeHead",
+              dict(in_channels=64, channels=16, num_stages=2, num_heads=2,
+                   feedforward_channels=32, num_classes=5, in_index=1),
+              (32, 64))
+
+
+def test_timm_adapter():
+    from peanut_tpu.registry import BACKBONES
+    bb = BACKBONES.get("TIMMBackbone")(
+        model_name="resnet18", extra=dict(base_channels=8, stem_channels=8))
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = bb.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    outs = bb.apply(variables, x, train=False)
+    assert len(outs) == 4
+
+    with pytest.raises(NotImplementedError):
+        BACKBONES.get("TIMMBackbone")(model_name="efficientnet_b0").init(
+            {"params": jax.random.PRNGKey(0)}, x, train=False)
+
+
+def test_accuracy():
+    from peanut_tpu.models.losses import accuracy
+    pred = jnp.asarray([[[10.0, 1.0, 0.0], [1.0, 10.0, 5.0]]])  # (1,2,3)
+    target = jnp.asarray([[0, 2]])
+    assert float(accuracy(pred, target)) == 50.0
+    a1, a2 = accuracy(pred, target, topk=(1, 2))
+    assert float(a1) == 50.0 and float(a2) == 100.0
+    # threshold gates low-score predictions
+    assert float(accuracy(pred, target, thresh=20.0)) == 0.0
+    # ignore_index drops pixels from the denominator
+    assert float(accuracy(pred, target, ignore_index=2)) == 100.0
