@@ -36,3 +36,15 @@ def test_pth_export_import_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(flat_a[k]),
                                    np.asarray(flat_b[k]), rtol=1e-6,
                                    err_msg=str(k))
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    """AOT export (cli/export.py): serialize the compiled inference program
+    and verify the deserialized artifact reproduces the outputs."""
+    from peanut_tpu.cli.export import export_segmentor
+
+    out = str(tmp_path / "unet.stablehlo")
+    path = export_segmentor("configs/unet/fcn_unet.py", out,
+                            shape=(1, 64, 64, 3), verify=True)
+    import os
+    assert os.path.getsize(path) > 1000
