@@ -83,9 +83,37 @@ def confusion_matrix(args):
                                            / max(cm.sum(), 1))}))
 
 
+def collect_env(args):
+    """Environment report (mmseg/utils/collect_env.py parity)."""
+    import platform
+    import sys
+    info = {"python": sys.version.split()[0],
+            "platform": platform.platform()}
+    import jax
+    info["jax"] = jax.__version__
+    try:
+        info["devices"] = ", ".join(
+            f"{d.platform}:{d.id}" for d in jax.devices())
+        info["default_backend"] = jax.default_backend()
+    except Exception as e:  # no accelerator attached
+        info["devices"] = f"unavailable ({e})"
+    for mod in ("flax", "optax", "numpy"):
+        try:
+            info[mod] = __import__(mod).__version__
+        except ImportError:
+            info[mod] = "absent"
+    import peanut_tpu
+    info["peanut_tpu"] = getattr(peanut_tpu, "__version__", "dev")
+    for k, v in info.items():
+        print(f"{k}: {v}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    ce = sub.add_parser("collect_env")
+    ce.set_defaults(fn=collect_env)
 
     pc = sub.add_parser("print_config")
     pc.add_argument("config")
