@@ -487,7 +487,9 @@ def _psa_index(h: int, w: int):
     a, b = np.divmod(np.arange(h * w), w)
     di = a[None, :] - i[:, None] + h - 1
     dj = b[None, :] - j[:, None] + w - 1
-    return jnp.asarray(di * (2 * w - 1) + dj, jnp.int32)
+    # cache host numpy (a jnp constant created under jit is a tracer and
+    # must not outlive the trace)
+    return (di * (2 * w - 1) + dj).astype(np.int32)
 
 
 @HEADS.register()
