@@ -97,9 +97,22 @@ class BatchedNavRuntime:
 
     def __init__(self, cfg: NavConfig, num_envs: int,
                  prediction_model: Optional[PredictionModel] = None,
-                 segmenter=None, predict_chunk: int = 8):
+                 segmenter=None, predict_chunk: int = 8, mesh=None,
+                 mesh_axis: str = "data"):
+        """mesh: optional jax.sharding.Mesh — when given, all per-episode
+        device state shards its batch axis over ``mesh_axis`` so the fused
+        tick program runs SPMD across chips (episodes are embarrassingly
+        parallel; the reference's one-env-per-process NCCL analog)."""
         self.cfg = cfg
         self.n = num_envs
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        if mesh is not None:
+            ax = mesh.shape[mesh_axis]
+            if num_envs % ax:
+                raise ValueError(
+                    f"num_envs={num_envs} not divisible by mesh axis "
+                    f"'{mesh_axis}'={ax}")
         self.mapper = SemanticMapper(cfg)
         self.segmenter = segmenter if segmenter is not None \
             else build_segmenter(cfg)
@@ -130,6 +143,15 @@ class BatchedNavRuntime:
 
     # ------------------------------------------------------------------
     def _alloc_state(self) -> DeviceState:
+        n, nc = self.n, self.nc
+        state = self._alloc_state_host()
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sh = NamedSharding(self.mesh, P(self.mesh_axis))
+            state = DeviceState(*(jax.device_put(x, sh) for x in state))
+        return state
+
+    def _alloc_state_host(self) -> DeviceState:
         n, nc = self.n, self.nc
         return DeviceState(
             local_maps=jnp.zeros((n, nc, self.Hl, self.Wl), jnp.float32),
