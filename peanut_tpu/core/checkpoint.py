@@ -21,17 +21,28 @@ import numpy as np
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a torch checkpoint into {name: numpy array}.
 
-    Handles both bare state dicts and mmcv-style {'state_dict': ..., 'meta':
-    ...} wrappers (the reference's checkpoint format).
+    Handles every wrapper the reference's checkpoints use:
+      * bare state dicts;
+      * mmcv-style ``{'state_dict': ..., 'meta': {...}}`` (pred_model_wts.pth,
+        written by mmcv CheckpointHook — reference load site
+        mmseg/apis/inference.py:12-40);
+      * detectron2-style ``{'model': ..., 'optimizer': ..., 'iteration': ...}``
+        (mask_rcnn_R_101_cat9.pth, written by DetectionCheckpointer);
+      * ``module.`` prefixes from DataParallel/DDP-wrapped saves.
     """
     import torch  # lazy: converter-only dependency
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(obj, dict) and "state_dict" in obj:
-        obj = obj["state_dict"]
+    if isinstance(obj, dict):
+        if "state_dict" in obj:
+            obj = obj["state_dict"]
+        elif "model" in obj and isinstance(obj["model"], dict):
+            obj = obj["model"]
     out = {}
     for k, v in obj.items():
         if hasattr(v, "numpy"):
+            if k.startswith("module."):
+                k = k[len("module."):]
             out[k] = v.detach().cpu().numpy()
     return out
 
