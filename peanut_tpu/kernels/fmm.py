@@ -156,6 +156,177 @@ def _axis_relax(d, wall):
     return _jacobi_pass(d, wall)
 
 
+# ----------------------------------------------------------------------
+# Second-order Godunov upwind (skfmm's default order; reference call sites
+# nav/agent/agent_state.py:391, nav/agent/utils/fmm_planner.py:64,72)
+# ----------------------------------------------------------------------
+
+def _axis_ab(u1, u2):
+    """Per-axis upwind coefficients for sum_i (alpha_i*u - beta_i)^2 = 1.
+
+    First order: alpha=1, beta=u1 (one-sided difference u - u1).
+    Second order (when the 2-away value is known and causally smaller):
+    alpha=3/2, beta=(4*u1 - u2)/2, from the one-sided second-order
+    difference (3u - 4u1 + u2)/2 — the same switch skfmm applies.
+    Axis excluded (alpha=0) when u1 is unknown.
+    """
+    known1 = u1 < 0.5 * BIG
+    use2 = known1 & (u2 < 0.5 * BIG) & (u2 <= u1)
+    alpha = jnp.where(known1, jnp.where(use2, 1.5, 1.0), 0.0)
+    beta = jnp.where(known1,
+                     jnp.where(use2, (4.0 * u1 - u2) * 0.5, u1), 0.0)
+    return alpha, beta, known1
+
+
+def _godunov2(u1x, u2x, u1y, u2y):
+    """Godunov update with per-axis order selection.
+
+    Solves the upwind quadratic with both axes; if the two-axis root
+    violates upwindness on either axis (alpha*u < beta, the generalization
+    of |a-b| >= 1), falls back to the better single-axis solution.
+    """
+    ax, bx, kx = _axis_ab(u1x, u2x)
+    ay, by, ky = _axis_ab(u1y, u2y)
+    c1x = jnp.where(kx, (1.0 + bx) / jnp.maximum(ax, 1e-9), BIG)
+    c1y = jnp.where(ky, (1.0 + by) / jnp.maximum(ay, 1e-9), BIG)
+    one_d = jnp.minimum(c1x, c1y)
+    A = ax * ax + ay * ay
+    B = ax * bx + ay * by
+    C = bx * bx + by * by - 1.0
+    disc = B * B - A * C
+    u2d = (B + jnp.sqrt(jnp.maximum(disc, 0.0))) / jnp.maximum(A, 1e-9)
+    ok = (disc >= 0.0) & kx & ky \
+        & (ax * u2d >= bx) & (ay * u2d >= by)
+    return jnp.minimum(jnp.where(ok, u2d, one_d), BIG)
+
+
+def _pick_dir(n1, n2, p1, p2):
+    """Choose the upwind direction per axis: smaller 1-away value; on ties
+    the direction whose 2-away value is still causal AND larger (larger
+    valid u2 -> smaller beta -> smaller candidate, and the rule is
+    mirror-invariant so flipped sweeps make identical choices)."""
+    eff_n = jnp.where(n2 <= n1, n2, -BIG)
+    eff_p = jnp.where(p2 <= p1, p2, -BIG)
+    use_n = (n1 < p1) | ((n1 == p1) & (eff_n >= eff_p))
+    return jnp.where(use_n, n1, p1), jnp.where(use_n, n2, p2)
+
+
+def _order2_pass(d, wall, src):
+    """One full-grid second-order Gauss-Jacobi ASSIGNMENT pass.
+
+    Unlike the first-order stage this does not min-update: the high-order
+    stencil is not monotone, so values must be allowed to rise back while
+    the refinement converges (standard high-order fast sweeping, cf. Zhang
+    & Zhao).  Sources stay pinned at 0 and walls at BIG.
+    """
+    nd = d.ndim
+
+    def shift(arr, axis, off):
+        """Value of the neighbour ``off`` cells earlier along ``axis``
+        (off>0 looks up/left, off<0 down/right); BIG past the border."""
+        pad = [(0, 0)] * nd
+        idx = [slice(None)] * nd
+        if off > 0:
+            pad[axis] = (off, 0)
+            idx[axis] = slice(0, -off)
+        else:
+            pad[axis] = (0, -off)
+            idx[axis] = slice(-off, None)
+        return jnp.pad(arr[tuple(idx)], pad, constant_values=BIG)
+
+    va, ha = nd - 2, nd - 1
+    up1, up2 = shift(d, va, 1), shift(d, va, 2)
+    dn1, dn2 = shift(d, va, -1), shift(d, va, -2)
+    lf1, lf2 = shift(d, ha, 1), shift(d, ha, 2)
+    rt1, rt2 = shift(d, ha, -1), shift(d, ha, -2)
+    u1y, u2y = _pick_dir(up1, up2, dn1, dn2)
+    u1x, u2x = _pick_dir(lf1, lf2, rt1, rt2)
+    cand = _godunov2(u1x, u2x, u1y, u2y)
+    out = jnp.where(src, 0.0, cand)
+    return jnp.where(wall, BIG, out)
+
+
+def _order2_block(blk, wall, src, top2, bottom2, inner: int):
+    """Relax a row block with second-order assignment updates.
+
+    top2/bottom2: (..., 2, W) context rows outside the block (top2 already
+    updated this sweep, bottom2 stale — exactly like _block_jacobi but two
+    rows deep for the 2-away stencil).
+    """
+    nd = blk.ndim
+
+    def hshift(arr, off):
+        pad = [(0, 0)] * nd
+        idx = [slice(None)] * nd
+        if off > 0:
+            pad[nd - 1] = (off, 0)
+            idx[nd - 1] = slice(0, -off)
+        else:
+            pad[nd - 1] = (0, -off)
+            idx[nd - 1] = slice(-off, None)
+        return jnp.pad(arr[tuple(idx)], pad, constant_values=BIG)
+
+    r = blk.shape[-2]
+
+    def one(blk, _):
+        ctx = jnp.concatenate([top2, blk, bottom2], axis=-2)
+        up1 = ctx[..., 1:r + 1, :]
+        up2 = ctx[..., 0:r, :]
+        dn1 = ctx[..., 3:r + 3, :]
+        dn2 = ctx[..., 4:r + 4, :]
+        lf1, lf2 = hshift(blk, 1), hshift(blk, 2)
+        rt1, rt2 = hshift(blk, -1), hshift(blk, -2)
+        u1y, u2y = _pick_dir(up1, up2, dn1, dn2)
+        u1x, u2x = _pick_dir(lf1, lf2, rt1, rt2)
+        cand = _godunov2(u1x, u2x, u1y, u2y)
+        out = jnp.where(src, 0.0, jnp.minimum(blk, cand))
+        return jnp.where(wall, BIG, out), None
+
+    blk, _ = lax.scan(one, blk, None, length=inner)
+    return blk
+
+
+def _v_sweep2(d, wall, src, reverse: bool, block: int = 16, inner: int = 40):
+    """Blocked sequential row sweep with second-order assignment updates
+    (the order-2 refinement core; same structure as _v_sweep)."""
+    h = d.shape[-2]
+    pad_h = (-h) % block
+    if pad_h:
+        padspec = [(0, 0)] * (d.ndim - 2) + [(0, pad_h), (0, 0)]
+        d = jnp.pad(d, padspec, constant_values=BIG)
+        wall = jnp.pad(wall, padspec, constant_values=True)
+        src = jnp.pad(src, padspec, constant_values=False)
+    nb = d.shape[-2] // block
+    w = d.shape[-1]
+    batch_shape = d.shape[:-2]
+
+    def to_blocks(x):
+        return jnp.moveaxis(x.reshape(batch_shape + (nb, block, w)), -3, 0)
+
+    blocks, wblocks, sblocks = to_blocks(d), to_blocks(wall), to_blocks(src)
+    big2 = jnp.full(batch_shape + (2, w), BIG, d.dtype)
+    if not reverse:
+        # stale first-two rows of the next block as the far boundary
+        nxt = jnp.concatenate([blocks[1:, ..., 0:2, :], big2[None]], axis=0)
+    else:
+        nxt = jnp.concatenate([big2[None], blocks[:-1, ..., -2:, :]], axis=0)
+
+    def step(carry, x):
+        blk, wblk, sblk, far = x
+        if not reverse:
+            top2, bottom2 = carry, far
+        else:
+            top2, bottom2 = far, carry
+        blk = _order2_block(blk, wblk, sblk, top2, bottom2, inner)
+        out_boundary = blk[..., -2:, :] if not reverse else blk[..., 0:2, :]
+        return out_boundary, blk
+
+    _, out = lax.scan(step, big2, (blocks, wblocks, sblocks, nxt),
+                      reverse=reverse)
+    out = jnp.moveaxis(out, 0, -3).reshape(batch_shape + (nb * block, w))
+    return out[..., :h, :]
+
+
 def _use_pallas() -> bool:
     """The Pallas sweep kernel is the TPU path; XLA scan elsewhere."""
     import jax
@@ -181,9 +352,30 @@ def _sweep(d, wall, reverse: bool, block: int, inner: int):
     return _v_sweep(d, wall, reverse, block=block, inner=inner)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "block", "inner"))
+def _sweep2(d, wall, src, reverse: bool, block: int, inner: int):
+    if _use_pallas():
+        from .fmm_pallas import v_sweep2_pallas
+
+        if d.ndim == 2:
+            return v_sweep2_pallas(d[None], wall[None], src[None], reverse,
+                                   block=block, inner=inner)[0]
+        if d.ndim > 3:
+            bshape = d.shape[:-2]
+            flat = d.reshape((-1,) + d.shape[-2:])
+            out = v_sweep2_pallas(flat,
+                                  wall.reshape(flat.shape),
+                                  src.reshape(flat.shape), reverse,
+                                  block=block, inner=inner)
+            return out.reshape(bshape + d.shape[-2:])
+        return v_sweep2_pallas(d, wall, src, reverse, block=block,
+                               inner=inner)
+    return _v_sweep2(d, wall, src, reverse, block=block, inner=inner)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "block", "inner",
+                                             "order", "n_iters2"))
 def eikonal_distance(traversible, sources, n_iters: int = 2, block: int = 16,
-                     inner: int = 40):
+                     inner: int = 40, order: int = 2, n_iters2: int = 1):
     """Geodesic (unit-speed eikonal) distance to source cells.
 
     Args:
@@ -194,6 +386,11 @@ def eikonal_distance(traversible, sources, n_iters: int = 2, block: int = 16,
       n_iters: fast-sweeping iterations (static).  Convergence needs
         inner >= ~2.5*block; with block=16/inner=40 one iteration reaches
         <0.1 cell error on open maps of any size, two suffice for floor plans.
+      order: 1 = plain first-order Godunov; 2 (default, matching skfmm's
+        default order at the reference call sites) additionally runs
+        ``n_iters2`` second-order refinement iterations — assignment-based
+        directed sweeps from the first-order solution, which cut the
+        diagonal overestimate by an order of magnitude.
 
     Returns:
       (..., H, W) float32 distances; +inf at walls and unreachable cells.
@@ -215,6 +412,26 @@ def eikonal_distance(traversible, sources, n_iters: int = 2, block: int = 16,
         dt = _sweep(dt, wt, False, block, inner)
         dt = _sweep(dt, wt, True, block, inner)
         d = jnp.swapaxes(dt, -1, -2)
+
+    if order >= 2:
+        # The high-order stencil must NOT see the first-order field: a
+        # finite-but-overestimated 2-away neighbour drives the extrapolated
+        # beta = (4*u1 - u2)/2 low and min-updates lock the undershoot in.
+        # So refine FROM SCRATCH (sources only) — the directed block sweeps
+        # propagate in causal order like Gauss-Seidel, so 2-away values are
+        # converged when consumed — and take the min with the first-order
+        # field, which covers anything the order-2 iterations didn't reach.
+        d2 = jnp.where(src, 0.0, BIG).astype(jnp.float32)
+        for _ in range(n_iters2):
+            d2 = _sweep2(d2, wallf, src, False, block, inner)
+            d2 = _sweep2(d2, wallf, src, True, block, inner)
+            dt = jnp.swapaxes(d2, -1, -2)
+            wt = jnp.swapaxes(wallf, -1, -2)
+            st = jnp.swapaxes(src, -1, -2)
+            dt = _sweep2(dt, wt, st, False, block, inner)
+            dt = _sweep2(dt, wt, st, True, block, inner)
+            d2 = jnp.swapaxes(dt, -1, -2)
+        d = jnp.minimum(d, d2)
 
     return jnp.where(d >= 0.5 * BIG, jnp.inf, d)
 

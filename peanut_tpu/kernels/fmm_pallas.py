@@ -146,6 +146,150 @@ def pallas_block_sweep(d, wall, block: int = 16, inner: int = 40,
     return out[:bsz]
 
 
+def _axis_ab(u1, u2):
+    """Per-axis upwind coefficients (second-order switch; fmm.py::_axis_ab)."""
+    known1 = u1 < 0.5 * BIG
+    use2 = known1 & (u2 < 0.5 * BIG) & (u2 <= u1)
+    alpha = jnp.where(known1, jnp.where(use2, 1.5, 1.0), 0.0)
+    beta = jnp.where(known1,
+                     jnp.where(use2, (4.0 * u1 - u2) * 0.5, u1), 0.0)
+    return alpha, beta, known1
+
+
+def _godunov2(u1x, u2x, u1y, u2y):
+    """Order-selecting Godunov update (fmm.py::_godunov2, VMEM edition)."""
+    ax, bx, kx = _axis_ab(u1x, u2x)
+    ay, by, ky = _axis_ab(u1y, u2y)
+    c1x = jnp.where(kx, (1.0 + bx) / jnp.maximum(ax, 1e-9), BIG)
+    c1y = jnp.where(ky, (1.0 + by) / jnp.maximum(ay, 1e-9), BIG)
+    one_d = jnp.minimum(c1x, c1y)
+    A = ax * ax + ay * ay
+    B = ax * bx + ay * by
+    C = bx * bx + by * by - 1.0
+    disc = B * B - A * C
+    u2d = (B + jnp.sqrt(jnp.maximum(disc, 0.0))) / jnp.maximum(A, 1e-9)
+    ok = (disc >= 0.0) & kx & ky & (ax * u2d >= bx) & (ay * u2d >= by)
+    return jnp.minimum(jnp.where(ok, u2d, one_d), BIG)
+
+
+def _pick_dir(n1, n2, p1, p2):
+    """Mirror-invariant upwind direction choice (fmm.py::_pick_dir)."""
+    eff_n = jnp.where(n2 <= n1, n2, -BIG)
+    eff_p = jnp.where(p2 <= p1, p2, -BIG)
+    use_n = (n1 < p1) | ((n1 == p1) & (eff_n >= eff_p))
+    return jnp.where(use_n, n1, p1), jnp.where(use_n, n2, p2)
+
+
+def _sweep2_kernel_batched(d_ref, wall_ref, src_ref, nxt_ref, out_ref,
+                           carry_ref, *, inner: int, w: int, nb: int):
+    """Second-order row-block relaxation (min-update, no seg scans —
+    see fmm.py::_order2_block for why the stencil must only consume values
+    produced by this same causal ordering).  carry scratch holds the last
+    TWO rows of the previous block."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        carry_ref[...] = jnp.full_like(carry_ref, BIG)
+
+    blk = d_ref[...]
+    wall = wall_ref[...] > 0.5
+    src = src_ref[...] > 0.5
+    top2 = carry_ref[...]                                # (B, 2, W)
+    is_last = k == nb - 1
+    bottom2 = jnp.where(is_last, BIG, nxt_ref[:, 0:2, :])
+    r = blk.shape[1]
+    bigcol = jnp.full(blk.shape[:-1] + (1,), BIG, blk.dtype)
+    bigcol2 = jnp.full(blk.shape[:-1] + (2,), BIG, blk.dtype)
+
+    def body(_, blk):
+        ctx = jnp.concatenate([top2, blk, bottom2], axis=1)  # (B, R+4, W)
+        up1 = ctx[:, 1:r + 1, :]
+        up2 = ctx[:, 0:r, :]
+        dn1 = ctx[:, 3:r + 3, :]
+        dn2 = ctx[:, 4:r + 4, :]
+        lf1 = jnp.concatenate([bigcol, blk[..., :-1]], axis=-1)
+        lf2 = jnp.concatenate([bigcol2, blk[..., :-2]], axis=-1)
+        rt1 = jnp.concatenate([blk[..., 1:], bigcol], axis=-1)
+        rt2 = jnp.concatenate([blk[..., 2:], bigcol2], axis=-1)
+        u1y, u2y = _pick_dir(up1, up2, dn1, dn2)
+        u1x, u2x = _pick_dir(lf1, lf2, rt1, rt2)
+        cand = _godunov2(u1x, u2x, u1y, u2y)
+        out = jnp.where(src, 0.0, jnp.minimum(blk, cand))
+        return jnp.where(wall, BIG, out)
+
+    blk = jax.lax.fori_loop(0, inner, body, blk)
+    out_ref[...] = blk
+    carry_ref[...] = blk[:, -2:, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block", "inner", "interpret"))
+def pallas_block_sweep2(d, wall, src, block: int = 16, inner: int = 40,
+                        interpret: bool = False):
+    """One downward directed second-order sweep over (B, H, W) grids.
+
+    H must be padded to a multiple of ``block`` by the caller."""
+    bsz, h, w = d.shape
+    nb = h // block
+    wallf = wall.astype(jnp.float32)
+    srcf = src.astype(jnp.float32)
+
+    bt = 1
+    if w > 256:
+        while bt * 2 <= bsz and bt * 2 * block * w * 4 <= 400_000:
+            bt *= 2
+    pad_b = (-bsz) % bt
+    if pad_b:
+        d = jnp.pad(d, ((0, pad_b), (0, 0), (0, 0)), constant_values=BIG)
+        wallf = jnp.pad(wallf, ((0, pad_b), (0, 0), (0, 0)),
+                        constant_values=1.0)
+        srcf = jnp.pad(srcf, ((0, pad_b), (0, 0), (0, 0)))
+    nbt = d.shape[0] // bt
+
+    kernel = functools.partial(_sweep2_kernel_batched, inner=inner, w=w,
+                               nb=nb)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nbt, nb),
+        in_specs=[
+            pl.BlockSpec((bt, block, w), lambda t, k: (t, k, 0)),
+            pl.BlockSpec((bt, block, w), lambda t, k: (t, k, 0)),
+            pl.BlockSpec((bt, block, w), lambda t, k: (t, k, 0)),
+            pl.BlockSpec((bt, block, w),
+                         lambda t, k: (t, jnp.minimum(k + 1, nb - 1), 0)),
+        ],
+        out_specs=pl.BlockSpec((bt, block, w), lambda t, k: (t, k, 0)),
+        out_shape=jax.ShapeDtypeStruct(d.shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bt, 2, w), jnp.float32)],
+        interpret=interpret,
+    )(d, wallf, srcf, d)
+    return out[:bsz]
+
+
+def v_sweep2_pallas(d, wall, src, reverse: bool, block: int = 16,
+                    inner: int = 40, interpret: bool = False):
+    """Directed second-order sweep with the same contract as
+    fmm._v_sweep2 (pads H and W, flips rows for the reverse direction)."""
+    h, w0 = d.shape[-2], d.shape[-1]
+    pad_h = (-h) % block
+    pad_w = (-w0) % 128
+    if pad_h or pad_w:
+        spec = [(0, 0)] * (d.ndim - 2) + [(0, pad_h), (0, pad_w)]
+        d = jnp.pad(d, spec, constant_values=BIG)
+        wall = jnp.pad(wall, spec, constant_values=True)
+        src = jnp.pad(src, spec, constant_values=False)
+    if reverse:
+        d = jnp.flip(d, axis=-2)
+        wall = jnp.flip(wall, axis=-2)
+        src = jnp.flip(src, axis=-2)
+    out = pallas_block_sweep2(d, wall, src, block=block, inner=inner,
+                              interpret=interpret)
+    if reverse:
+        out = jnp.flip(out, axis=-2)
+    return out[..., :h, :w0]
+
+
 def v_sweep_pallas(d, wall, reverse: bool, block: int = 16, inner: int = 40,
                    interpret: bool = False):
     """Directed sweep with the same contract as fmm._v_sweep (pads H,

@@ -30,7 +30,7 @@ def test_empty_grid_point_source():
     trav = np.ones((n, n), np.float32)
     src = np.zeros((n, n), np.float32)
     src[0, 0] = 1
-    d = np.asarray(eikonal_distance(trav, src, n_iters=3))
+    d = np.asarray(eikonal_distance(trav, src, n_iters=3, order=1))
     want = brute_force_fixed_point(trav, src)
     np.testing.assert_allclose(d, want, rtol=1e-4, atol=1e-3)
     # axis distances are exact integers
@@ -46,7 +46,7 @@ def test_wall_blocks_and_detour():
     trav[10, :20] = 0  # wall with a gap at the right edge
     src = np.zeros((n, n), np.float32)
     src[0, 0] = 1
-    d = np.asarray(eikonal_distance(trav, src, n_iters=4))
+    d = np.asarray(eikonal_distance(trav, src, n_iters=4, order=1))
     want = brute_force_fixed_point(trav, src)
     np.testing.assert_allclose(d, want, rtol=1e-4, atol=1e-3)
     assert np.isinf(d[10, 0])          # wall cell
@@ -59,7 +59,7 @@ def test_unreachable_region_is_inf():
     trav[:, 7] = 0  # full vertical wall
     src = np.zeros((n, n), np.float32)
     src[0, 0] = 1
-    d = np.asarray(eikonal_distance(trav, src, n_iters=3))
+    d = np.asarray(eikonal_distance(trav, src, n_iters=3, order=1))
     assert np.isinf(d[:, 8:]).all()
     filled = np.asarray(masked_fill_unreachable(d))
     mx = d[np.isfinite(d)].max()
@@ -73,7 +73,7 @@ def test_source_on_wall_is_unmasked():
     trav[4, 4] = 0
     src = np.zeros((n, n), np.float32)
     src[4, 4] = 1
-    d = np.asarray(eikonal_distance(trav, src, n_iters=2))
+    d = np.asarray(eikonal_distance(trav, src, n_iters=2, order=1))
     assert d[4, 4] == 0.0
     assert d[4, 5] == pytest.approx(1.0, abs=1e-3)
 
@@ -84,9 +84,9 @@ def test_batched_solve():
     src = np.zeros((2, n, n), np.float32)
     src[0, 0, 0] = 1
     src[1, 8, 8] = 1
-    d = np.asarray(eikonal_distance(trav, src, n_iters=3))
-    d0 = np.asarray(eikonal_distance(trav[0], src[0], n_iters=3))
-    d1 = np.asarray(eikonal_distance(trav[1], src[1], n_iters=3))
+    d = np.asarray(eikonal_distance(trav, src, n_iters=3, order=1))
+    d0 = np.asarray(eikonal_distance(trav[0], src[0], n_iters=3, order=1))
+    d1 = np.asarray(eikonal_distance(trav[1], src[1], n_iters=3, order=1))
     np.testing.assert_allclose(d[0], d0, atol=1e-5)
     np.testing.assert_allclose(d[1], d1, atol=1e-5)
 
@@ -103,7 +103,93 @@ def test_maze_converges():
             trav[r, 4:] = 0
     src = np.zeros((n, n), np.float32)
     src[0, 0] = 1
-    d = np.asarray(eikonal_distance(trav, src, n_iters=8))
+    d = np.asarray(eikonal_distance(trav, src, n_iters=8, order=1))
     want = brute_force_fixed_point(trav, src, max_iter=5000)
     finite = np.isfinite(want)
     np.testing.assert_allclose(d[finite], want[finite], rtol=1e-3, atol=1e-2)
+
+
+# ----------------------------------------------------------------------
+# Second-order scheme (skfmm's default order; VERDICT round-1 item 5)
+# ----------------------------------------------------------------------
+
+def test_order2_point_source_accuracy():
+    """Analytic cross-check: point source in the open — order 2 must be
+    within 0.5 cells of the Euclidean field everywhere (skfmm territory),
+    where order 1 overestimates diagonals by >1 cell."""
+    n = 101
+    trav = np.ones((n, n), np.float32)
+    src = np.zeros((n, n), np.float32)
+    src[n // 2, n // 2] = 1
+    yy, xx = np.mgrid[0:n, 0:n]
+    true = np.sqrt((yy - n // 2) ** 2.0 + (xx - n // 2) ** 2.0)
+
+    d1 = np.asarray(eikonal_distance(trav, src, order=1))
+    d2 = np.asarray(eikonal_distance(trav, src, order=2))
+    err1 = np.abs(d1 - true).max()
+    err2 = np.abs(d2 - true).max()
+    assert err2 <= 0.5, f"order-2 max error {err2:.3f} cells"
+    assert err2 < 0.5 * err1  # materially better than first order
+
+
+def test_order2_below_first_order():
+    """First-order Godunov only overestimates; the refinement can only
+    bring values down (and never below the Euclidean lower bound)."""
+    rng = np.random.RandomState(7)
+    n = 65
+    trav = (rng.rand(n, n) > 0.25).astype(np.float32)
+    src = np.zeros((n, n), np.float32)
+    src[2, 2] = 1
+    trav[2, 2] = 1
+    d1 = np.asarray(eikonal_distance(trav, src, n_iters=4, order=1))
+    d2 = np.asarray(eikonal_distance(trav, src, n_iters=4, order=2))
+    finite = np.isfinite(d1)
+    assert (np.isfinite(d2) == finite).all()  # same reachable set
+    assert (d2[finite] <= d1[finite] + 1e-4).all()
+    yy, xx = np.mgrid[0:n, 0:n]
+    lower = np.sqrt((yy - 2) ** 2.0 + (xx - 2) ** 2.0)
+    assert (d2[finite] >= lower[finite] - 1e-3).all()
+
+
+def test_order2_slit_diffraction():
+    """Wall with a 1-cell slit: beyond the slit the field is a point
+    source re-expansion (geodesic = src->slit + slit->cell)."""
+    n = 101
+    trav = np.ones((n, n), np.float32)
+    trav[50, :] = 0
+    trav[50, 50] = 1
+    src = np.zeros((n, n), np.float32)
+    src[10, 50] = 1
+    d = np.asarray(eikonal_distance(trav, src, n_iters=3, order=2))
+    yy, xx = np.mgrid[0:n, 0:n]
+    true_below = 40.0 + np.sqrt((yy - 50) ** 2.0 + (xx - 50) ** 2.0)
+    sel = yy >= 65
+    err = np.abs(d[sel] - true_below[sel])
+    assert err.max() <= 1.0  # slit cell itself is a 1st-order singularity
+    assert err.mean() <= 0.5
+
+
+def test_order2_semantics_match_first_order():
+    """Wall/unreachable/source-on-wall semantics are order-independent."""
+    n = 15
+    trav = np.ones((n, n), np.float32)
+    trav[:, 7] = 0
+    trav[4, 4] = 0
+    src = np.zeros((n, n), np.float32)
+    src[4, 4] = 1  # source on a wall cell is unmasked (fmm_planner.py:70)
+    d = np.asarray(eikonal_distance(trav, src, order=2))
+    assert d[4, 4] == 0.0
+    assert d[4, 5] == pytest.approx(1.0, abs=1e-3)
+    assert np.isinf(d[:, 8:]).all()
+
+
+def test_order2_batched_matches_single():
+    n = 33
+    trav = np.ones((2, n, n), np.float32)
+    src = np.zeros((2, n, n), np.float32)
+    src[0, 3, 3] = 1
+    src[1, 16, 16] = 1
+    d = np.asarray(eikonal_distance(trav, src, order=2))
+    for b in range(2):
+        db = np.asarray(eikonal_distance(trav[b], src[b], order=2))
+        np.testing.assert_allclose(d[b], db, atol=1e-5)

@@ -36,3 +36,37 @@ def test_pallas_sweep_carry_isolated_between_batch_tiles(rng):
     # other envs must stay BIG (no leakage across batch tiles)
     assert (got[1:] >= 0.5 * BIG).all()
     assert got[0, 5, 0] < 10.0
+
+
+# ---- second-order sweep kernel ----
+
+from peanut_tpu.kernels.fmm import _v_sweep2  # noqa: E402
+from peanut_tpu.kernels.fmm_pallas import v_sweep2_pallas  # noqa: E402
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("shape", [(2, 48, 40), (3, 50, 200), (1, 33, 33)])
+def test_pallas_sweep2_matches_xla(rng, reverse, shape):
+    b, h, w = shape
+    src = rng.rand(b, h, w) > 0.97
+    wall = (rng.rand(b, h, w) > 0.8) & ~src
+    d = np.where(src, 0.0, BIG).astype(np.float32)
+    args = (jnp.asarray(d), jnp.asarray(wall), jnp.asarray(src), reverse)
+    want = np.asarray(_v_sweep2(*args, block=16, inner=10))
+    got = np.asarray(v_sweep2_pallas(*args, block=16, inner=10,
+                                     interpret=True))
+    np.testing.assert_allclose(np.minimum(got, 1e9), np.minimum(want, 1e9),
+                               atol=1e-4)
+
+
+def test_pallas_sweep2_carry_isolated_between_batch_tiles(rng):
+    b, h, w = 4, 32, 200
+    src = np.zeros((b, h, w), bool)
+    src[0, 0, 0] = True
+    d = np.where(src, 0.0, BIG).astype(np.float32)
+    wall = np.zeros((b, h, w), bool)
+    got = np.asarray(v_sweep2_pallas(jnp.asarray(d), jnp.asarray(wall),
+                                     jnp.asarray(src), False,
+                                     block=16, inner=10, interpret=True))
+    assert (got[1:] >= 0.5 * BIG).all()
+    assert got[0, 5, 0] < 10.0
