@@ -6,9 +6,16 @@ buffer, each ROI's sample coordinates get a per-level row offset, and the
 whole pooling becomes a single batched bilinear gather — no per-level
 dynamic partitioning, fully static shapes.
 
-Sampling uses a fixed sampling_ratio (detectron2's ratio-0 "adaptive" mode
-varies the grid per ROI, which is hostile to static compilation; a fixed 2x2
-grid per bin matches d2's accuracy in practice).
+Sampling implements detectron2's adaptive ratio-0 grid (the default at the
+reference's serving path, nav/agent/utils/segmentation.py:38 via
+DefaultPredictor): per ROI, ``g = ceil(roi_size_px / pooled_size)`` samples
+per bin per axis.  Static shapes are preserved by always generating ``gmax``
+sample slots per bin — ``gmax`` is a *compile-time* bound derived from the
+coarsest level's extent — and masking slots ``j >= g`` out of the average.
+Positions of the live slots are the exact d2 ones, ``(j + 0.5) / g`` bin
+fractions with per-ROI ``g``, so results match the CUDA kernel bit-for-bit
+up to float summation order.  A fixed grid (``sampling_ratio > 0``) is kept
+as an option.
 """
 
 from __future__ import annotations
@@ -46,14 +53,16 @@ def stack_pyramid(feats: Sequence[jnp.ndarray]
 
 def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
                          strides: Sequence[int], output_size: int,
-                         sampling_ratio: int = 2) -> jnp.ndarray:
-    """ROIAlign over an FPN pyramid.
+                         sampling_ratio: int = 0) -> jnp.ndarray:
+    """ROIAlign over an FPN pyramid (d2 ROIAlignV2 semantics).
 
     Args:
       feats: per-level (H_l, W_l, C) maps, levels ordered fine->coarse.
       boxes: (N, 4) XYXY in input-image coordinates.
       strides: per-level feature strides (e.g. 4, 8, 16, 32).
       output_size: pooled resolution P (P x P bins).
+      sampling_ratio: 0 = d2 adaptive grid (ceil(bin px), the reference
+        default); > 0 = fixed grid of that many samples per bin per axis.
 
     Returns:
       (N, P, P, C) pooled features.
@@ -61,7 +70,6 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     n = boxes.shape[0]
     c = feats[0].shape[-1]
     p = output_size
-    s = sampling_ratio
     stacked, row_off, heights = stack_pyramid(feats)
     total_h, max_w, _ = stacked.shape
 
@@ -77,52 +85,94 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     y1 = boxes[:, 1] / stride - 0.5
     x2 = boxes[:, 2] / stride - 0.5
     y2 = boxes[:, 3] / stride - 0.5
-    roi_w = jnp.maximum(x2 - x1, 1e-6)
-    roi_h = jnp.maximum(y2 - y1, 1e-6)
+    roi_w = x2 - x1
+    roi_h = y2 - y1
     bin_w = roi_w / p
     bin_h = roi_h / p
 
-    # sample grid: (P*s) points per axis at bin-subdivided centres
-    grid = (jnp.arange(p * s, dtype=jnp.float32) + 0.5) / s  # in bin units
-    sample_x = x1[:, None] + grid[None, :] * bin_w[:, None]  # (N, P*s)
-    sample_y = y1[:, None] + grid[None, :] * bin_h[:, None]
+    if sampling_ratio > 0:
+        s = sampling_ratio
+        gx = jnp.full((n,), float(s))
+        gy = jnp.full((n,), float(s))
+    else:
+        # adaptive bound: the largest ROI lives on the coarsest level and
+        # spans at most its full extent, so gmax is static per geometry
+        coarse = feats[-1]
+        s = max(1, int(-(-max(coarse.shape[0], coarse.shape[1]) // p)))
+        gx = jnp.clip(jnp.ceil(roi_w / p), 1.0, s)
+        gy = jnp.clip(jnp.ceil(roi_h / p), 1.0, s)
 
-    # clamp into the level's valid extent (d2 clamps sampling coords)
-    sample_x = jnp.clip(sample_x, 0.0, lvl_w[:, None] - 1.0)
-    sample_y = jnp.clip(sample_y, 0.0, lvl_h[:, None] - 1.0)
-
-    x0f = jnp.floor(sample_x)
-    y0f = jnp.floor(sample_y)
-    wx1 = sample_x - x0f
-    wy1 = sample_y - y0f
+    # sample lattice: bin b, slot j at fraction (j + 0.5) / g of the bin;
+    # slots j >= g are masked out of the average
+    slots = jnp.arange(s, dtype=jnp.float32)               # (s,)
+    frac_x = (slots[None, :] + 0.5) / gx[:, None]          # (N, s)
+    frac_y = (slots[None, :] + 0.5) / gy[:, None]
+    mask_x = (slots[None, :] < gx[:, None]).astype(jnp.float32)
+    mask_y = (slots[None, :] < gy[:, None]).astype(jnp.float32)
+    bins = jnp.arange(p, dtype=jnp.float32)                # (p,)
+    # (N, p, s) sample coordinates, clamped into the level's valid extent
+    # (d2 clamps sampling coords)
+    sample_x = jnp.clip(x1[:, None, None]
+                        + (bins[None, :, None] + frac_x[:, None, :])
+                        * bin_w[:, None, None], 0.0,
+                        lvl_w[:, None, None] - 1.0)
+    sample_y = jnp.clip(y1[:, None, None]
+                        + (bins[None, :, None] + frac_y[:, None, :])
+                        * bin_h[:, None, None], 0.0,
+                        lvl_h[:, None, None] - 1.0)
 
     flat = stacked.reshape(total_h * max_w, c)
 
-    def gather(yi, xi):
-        # yi: (N, PS) level-local rows; xi: (N, PS) cols
-        rows = jnp.clip(yi, 0, total_h - 1).astype(jnp.int32)
-        cols = jnp.clip(xi, 0, max_w - 1).astype(jnp.int32)
-        # combine into (N, PS, PS) sample lattice indices
-        lin = (rows[:, :, None] + jnp.zeros_like(cols[:, None, :],
-                                                 dtype=jnp.int32)) * max_w \
-            + cols[:, None, :]
-        return flat[lin.reshape(-1)].reshape(n, p * s, p * s, c)
+    def pool_rois(args):
+        """Pool one ROI chunk with ONE fused (n_c, P*s, P*s, C) lattice
+        gather (the fast TPU formulation).  Chunking over ROIs bounds the
+        lattice transient; within a chunk everything is a single big
+        gather + weighted reduction that XLA fuses."""
+        sam_y, sam_x, m_y, m_x, cnt, off_, lh_, lw_ = args
+        n_c = sam_y.shape[0]
+        sy = sam_y.reshape(n_c, p * s)                     # (n_c, P*s)
+        sx = sam_x.reshape(n_c, p * s)
+        y0f = jnp.floor(sy)
+        x0f = jnp.floor(sx)
+        wy1 = sy - y0f
+        wx1 = sx - x0f
 
-    y0 = y0f + lvl_off[:, None]
-    y1i = jnp.minimum(y0f + 1, lvl_h[:, None] - 1) + lvl_off[:, None]
-    x0 = x0f
-    x1i = jnp.minimum(x0f + 1, lvl_w[:, None] - 1)
+        def gather(yi, xi):
+            rows = jnp.clip(yi, 0, total_h - 1).astype(jnp.int32)
+            cols = jnp.clip(xi, 0, max_w - 1).astype(jnp.int32)
+            lin = rows[:, :, None] * max_w + cols[:, None, :]
+            return flat[lin.reshape(-1)].reshape(n_c, p * s, p * s, c)
 
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x1i)
-    v10 = gather(y1i, x0)
-    v11 = gather(y1i, x1i)
+        y0 = y0f + off_[:, None]
+        y1i = jnp.minimum(y0f + 1, lh_[:, None] - 1) + off_[:, None]
+        x1i = jnp.minimum(x0f + 1, lw_[:, None] - 1)
+        wy1e = wy1[:, :, None, None]
+        wx1e = wx1[:, None, :, None]
+        val = (gather(y0, x0f) * ((1 - wy1e) * (1 - wx1e))
+               + gather(y0, x1i) * ((1 - wy1e) * wx1e)
+               + gather(y1i, x0f) * (wy1e * (1 - wx1e))
+               + gather(y1i, x1i) * (wy1e * wx1e))
+        wy_slot = m_y[:, None, :, None, None, None]
+        wx_slot = m_x[:, None, None, None, :, None]
+        val = val.reshape(n_c, p, s, p, s, c).astype(jnp.float32)
+        val = (val * wy_slot * wx_slot).sum(axis=(2, 4))
+        return val / cnt[:, None, None, None]
 
-    wy1e = wy1[:, :, None, None]
-    wx1e = wx1[:, None, :, None]
-    val = (v00 * (1 - wy1e) * (1 - wx1e) + v01 * (1 - wy1e) * wx1e
-           + v10 * wy1e * (1 - wx1e) + v11 * wy1e * wx1e)
-
-    # average the s x s samples per bin
-    val = val.reshape(n, p, s, p, s, c).mean(axis=(2, 4))
-    return val
+    args = (sample_y, sample_x, mask_y, mask_x,
+            jnp.maximum(gx * gy, 1.0), lvl_off, lvl_h, lvl_w)
+    # chunk so the lattice transient stays ~tens of MB even under an
+    # 8-way detect vmap; one chunk when the ROI set is already small
+    roi_chunk = 128
+    if s <= 2 or n <= roi_chunk:
+        out = pool_rois(args)
+    else:
+        pad_n = (-n) % roi_chunk
+        if pad_n:
+            args = tuple(jnp.pad(a, ((0, pad_n),) + ((0, 0),) * (a.ndim - 1))
+                         for a in args)
+        nch = (n + pad_n) // roi_chunk
+        chunked = tuple(a.reshape((nch, roi_chunk) + a.shape[1:])
+                        for a in args)
+        out = jax.lax.map(pool_rois, chunked).reshape(
+            (n + pad_n, p, p, c))[:n]
+    return out.astype(feats[0].dtype)

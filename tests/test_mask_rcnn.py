@@ -64,17 +64,24 @@ def np_roi_align(feat_chw, boxes, spatial_scale, out_size, sampling_ratio):
         y1 = by1 * spatial_scale - 0.5
         x2 = bx2 * spatial_scale - 0.5
         y2 = by2 * spatial_scale - 0.5
-        bw = max(x2 - x1, 1e-6) / out_size
-        bh = max(y2 - y1, 1e-6) / out_size
+        roi_w = x2 - x1
+        roi_h = y2 - y1
+        bw = roi_w / out_size
+        bh = roi_h / out_size
+        # d2/torchvision adaptive grid when sampling_ratio <= 0
+        gx = sampling_ratio if sampling_ratio > 0 else max(
+            1, int(np.ceil(roi_w / out_size)))
+        gy = sampling_ratio if sampling_ratio > 0 else max(
+            1, int(np.ceil(roi_h / out_size)))
         for i in range(out_size):
             for j in range(out_size):
                 acc = np.zeros(c, np.float32)
-                for sy in range(sampling_ratio):
-                    for sx in range(sampling_ratio):
-                        yy = y1 + (i + (sy + 0.5) / sampling_ratio) * bh
-                        xx = x1 + (j + (sx + 0.5) / sampling_ratio) * bw
+                for sy in range(gy):
+                    for sx in range(gx):
+                        yy = y1 + (i + (sy + 0.5) / gy) * bh
+                        xx = x1 + (j + (sx + 0.5) / gx) * bw
                         acc += bilinear(yy, xx)
-                out[bi, :, i, j] = acc / sampling_ratio ** 2
+                out[bi, :, i, j] = acc / max(gx * gy, 1)
     return out
 
 
@@ -152,12 +159,37 @@ def test_roi_align_single_level_matches_torchvision(rng):
     boxes = np.array([[4.0, 4.0, 40.0, 28.0],
                       [0.0, 0.0, 90.0, 60.0],
                       [10.0, 6.0, 25.0, 30.0]], np.float32)
-    want = np_roi_align(feat[0], boxes, 1.0 / 4, 7, 2)
-
     # single-level pyramid: force level assignment to 0 by replicating
     feats = [jnp.asarray(feat[0].transpose(1, 2, 0))] * 4
+    for ratio in (2, 0):  # fixed grid and d2 adaptive (the serving default)
+        want = np_roi_align(feat[0], boxes, 1.0 / 4, 7, ratio)
+        got = np.asarray(multilevel_roi_align(feats, jnp.asarray(boxes),
+                                              (4, 4, 4, 4), 7,
+                                              sampling_ratio=ratio))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_adaptive_matches_torchvision_exactly(rng):
+    """Direct oracle: torchvision.ops.roi_align(sampling_ratio=-1,
+    aligned=True) == detectron2 ROIAlignV2 ratio-0 (PARITY.md delta #2)."""
+    torchvision = pytest.importorskip("torchvision")
+
+    feat = rng.rand(1, 4, 24, 32).astype(np.float32)
+    boxes = np.array([[4.0, 4.0, 40.0, 28.0],
+                      [0.0, 0.0, 90.0, 60.0],
+                      [3.0, 2.0, 120.0, 90.0],
+                      [10.0, 6.0, 25.0, 30.0]], np.float32)
+    rois = torch.cat([torch.zeros(len(boxes), 1),
+                      torch.from_numpy(boxes)], dim=1)
+    want = torchvision.ops.roi_align(
+        torch.from_numpy(feat), rois, output_size=7, spatial_scale=1.0 / 4,
+        sampling_ratio=-1, aligned=True).numpy()
+
+    feats = [jnp.asarray(feat[0].transpose(1, 2, 0))] * 4
     got = np.asarray(multilevel_roi_align(feats, jnp.asarray(boxes),
-                                          (4, 4, 4, 4), 7))
+                                          (4, 4, 4, 4), 7,
+                                          sampling_ratio=0))
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
                                rtol=1e-4, atol=1e-4)
 
