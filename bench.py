@@ -1,23 +1,42 @@
-"""Benchmark: prediction-net throughput on the target hardware.
+"""Benchmark: the three BASELINE metrics on the target hardware.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints one JSON line per metric:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Headline metric: PEANUT target-prediction PSPNet-R50 forward passes per second
-per chip at the full 720x720x14 prediction window (BASELINE config 1 scaled to
-the serving path).  Baseline: the reference serves this model through
-mmseg/torch on the challenge GPU; mmseg's own model-zoo benchmark for
-PSPNet-R50-d8 (512x1024 = 0.52MPix, same per-image pixel count as 720^2 =
-0.52MPix) reports ~2.48 img/s on a V100 with the reference's
-tools/benchmark.py harness — used as the reference throughput.
+1. seg frames/sec        — Mask R-CNN R101-FPN 9-cat detect() at the served
+                           800x1088 geometry (reference hot path:
+                           nav/agent/utils/segmentation.py:41).
+2. env steps/sec @16     — batched ObjectNav runtime over 16 synthetic
+                           episodes with the full production models
+                           (BASELINE config 5; reference loop
+                           nav/collect.py:44-84 runs ONE env per process).
+3. prednet maps/sec/chip — PEANUT target-prediction PSPNet-R50 forward at
+                           the full 720x720x14 window (BASELINE config 1
+                           scaled to the serving path; headline metric,
+                           printed last).
+
+Baseline provenance (no measured reference numbers exist in-tree —
+SURVEY.md §6): each line carries a "baseline_provenance" string naming the
+source of the denominator:
+  * prednet: mmseg model-zoo table, PSPNet-R50-d8 512x1024 (0.52 MPix, same
+    pixel count as 720^2) ~2.48 img/s on V100 fp32 with the reference's own
+    tools/benchmark.py harness.
+  * seg: detectron2 model-zoo table, mask_rcnn_R_101_FPN_3x inference
+    0.056 s/im on V100 -> 17.9 img/s.
+  * env steps: estimated 2.5 steps/s for the reference single-process loop
+    on a V100 (Mask R-CNN forward ~0.06 s + host skfmm solves + mapping per
+    step); the 10x north-star target is 25 steps/s at 16 envs.
 """
 
 import json
 import time
+import traceback
 
 import numpy as np
 
-
-BASELINE_MAPS_PER_SEC = 2.48  # mmseg zoo PSPNet-R50-d8 @0.52MPix, V100 fp32
+BASELINE_PREDNET = 2.48     # mmseg zoo PSPNet-R50-d8 @0.52MPix, V100 fp32
+BASELINE_SEG_FPS = 17.9     # d2 zoo mask_rcnn_R_101_FPN_3x, V100 (0.056 s/im)
+BASELINE_ENV_SPS = 2.5      # estimate: reference 1-env loop on V100
 
 
 def _enable_compile_cache():
@@ -33,8 +52,7 @@ def _enable_compile_cache():
         pass
 
 
-def main():
-    _enable_compile_cache()
+def bench_prednet():
     import jax
     import jax.numpy as jnp
     from peanut_tpu.models import build_segmentor, init_segmentor_params
@@ -61,8 +79,7 @@ def main():
     xs = [jnp.asarray(np.random.rand(batch, size, size, 14), jnp.bfloat16)
           for _ in range(2)]
 
-    # warmup / compile
-    float(fwd_sum(bf16_vars, xs[0]))
+    float(fwd_sum(bf16_vars, xs[0]))  # warmup / compile
     float(fwd_sum(bf16_vars, xs[1]))
 
     iters = 20
@@ -71,12 +88,144 @@ def main():
         float(fwd_sum(bf16_vars, xs[i % 2]))
     dt = time.perf_counter() - t0
     maps_per_sec = batch * iters / dt
-    print(json.dumps({
+    return {
         "metric": "prednet_720x720_maps_per_sec_per_chip",
         "value": round(maps_per_sec, 3),
         "unit": "maps/s",
-        "vs_baseline": round(maps_per_sec / BASELINE_MAPS_PER_SEC, 2),
-    }))
+        "vs_baseline": round(maps_per_sec / BASELINE_PREDNET, 2),
+        "baseline_provenance": "mmseg-zoo PSPNet-R50-d8 512x1024 V100 fp32 "
+                               "(2.48 img/s), not a measured reference run",
+    }
+
+
+def bench_seg():
+    """Mask R-CNN R101-FPN 9-cat at the served 800x1088 geometry
+    (640x480 input -> shortest-edge 800 -> pad to /32), bf16, batched."""
+    import jax
+    import jax.numpy as jnp
+    from peanut_tpu.models.mask_rcnn import MaskRCNN
+
+    model = MaskRCNN(num_classes=9)
+    h, w = 800, 1088
+    img = jnp.zeros((h, w, 3), jnp.float32)
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, method=model.detect))(
+        jax.random.PRNGKey(0), img)
+    bf16_vars = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
+
+    batch = 8
+
+    @jax.jit
+    def detect_sum(v, imgs):
+        det = jax.vmap(
+            lambda im: model.apply(v, im.astype(jnp.bfloat16),
+                                   method=model.detect))(imgs)
+        # checksum over every output head forces full pipeline execution
+        return (jnp.sum(det["scores"].astype(jnp.float32)
+                        * jnp.isfinite(det["scores"]))
+                + jnp.sum(det["masks"].astype(jnp.float32))
+                + jnp.sum(det["boxes"].astype(jnp.float32)))
+
+    xs = [jnp.asarray(np.random.rand(batch, h, w, 3) * 50.0, jnp.float32)
+          for _ in range(2)]
+    float(detect_sum(bf16_vars, xs[0]))  # warmup / compile
+    float(detect_sum(bf16_vars, xs[1]))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        float(detect_sum(bf16_vars, xs[i % 2]))
+    dt = time.perf_counter() - t0
+    fps = batch * iters / dt
+    return {
+        "metric": "maskrcnn_r101_800x1088_frames_per_sec",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_SEG_FPS, 2),
+        "batch": batch,
+        "baseline_provenance": "detectron2-zoo mask_rcnn_R_101_FPN_3x V100 "
+                               "(0.056 s/im = 17.9 img/s), not a measured "
+                               "reference run",
+    }
+
+
+def bench_env_steps(n_envs: int = 16, ticks: int = 40):
+    """Batched ObjectNav runtime, full production models (random weights,
+    identical compute), synthetic raycast envs at challenge geometry."""
+    import jax
+    import jax.numpy as jnp
+    from peanut_tpu.config import NavConfig
+    from peanut_tpu.envs import FakeNavEnv
+    from peanut_tpu.envs.batch_runner import BatchRunner
+    from peanut_tpu.prediction import PredictionModel
+    from peanut_tpu.perception.mask_rcnn_segmenter import MaskRCNNSegmenter
+    from peanut_tpu.models.mask_rcnn import MaskRCNN
+
+    cfg = NavConfig(use_gt_seg=0, exact_parity=False, serve_bf16=True)
+    pm = PredictionModel(cfg)  # full PSPNet-R50 at 720^2 (random weights)
+    model = MaskRCNN(num_classes=cfg.num_sem_categories - 1)
+    img = jnp.zeros((800, 1088, 3), jnp.float32)
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, method=model.detect))(
+        jax.random.PRNGKey(0), img)
+    segmenter = MaskRCNNSegmenter(cfg, variables=variables)
+
+    runner = BatchRunner(
+        cfg,
+        [lambda s=s: FakeNavEnv(cfg, size_m=14.0, seed=s)
+         for s in range(n_envs)],
+        prediction_model=pm, segmenter=segmenter)
+
+    runner.reset_all()
+    for _ in range(3):  # warmup (compile all tick programs)
+        runner.tick()
+
+    t0 = time.perf_counter()
+    for _ in range(ticks):
+        runner.tick()
+    dt = time.perf_counter() - t0
+    sps = n_envs * ticks / dt
+    return {
+        "metric": "objectnav_env_steps_per_sec_16env",
+        "value": round(sps, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / BASELINE_ENV_SPS, 2),
+        "envs": n_envs,
+        "ms_per_tick": round(1000 * dt / ticks, 1),
+        "baseline_provenance": "estimated reference single-process loop "
+                               "~2.5 steps/s on V100; north-star = 10x",
+    }
+
+
+BENCHES = {"seg": bench_seg, "env": bench_env_steps, "prednet": bench_prednet}
+
+
+def main():
+    import subprocess
+    import sys
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        # child mode: run one benchmark in a fresh process (full HBM)
+        _enable_compile_cache()
+        print(json.dumps(BENCHES[sys.argv[2]]()))
+        return
+
+    # parent mode: one subprocess per metric so each gets the whole HBM
+    # (the three models together exhaust a single chip's 16 GB)
+    for name in ("seg", "env", "prednet"):
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--only", name],
+                capture_output=True, text=True, timeout=3000)
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-2000:] + "\n")
+        except Exception:
+            traceback.print_exc()
 
 
 if __name__ == "__main__":

@@ -701,6 +701,23 @@ class BatchedNavRuntime:
         sem_u8 = np.zeros((n, cfg.num_sem_categories, fh, fw), np.uint8)
         depth_cm = np.zeros((n, fh, fw), np.float32)
 
+        if hasattr(self.segmenter, "batch_device"):
+            # Mask R-CNN serving path: uint8 RGB up, everything else stays
+            # on device (preprocess + detect + paste + accumulate in one
+            # program); the tick program consumes the device array directly
+            rgbs = np.stack([np.asarray(observations[i]["rgb"], np.uint8)
+                             for i in range(n)])
+            sem_dev = self.segmenter.batch_device(
+                rgbs, [int(g) for g in goal_cats])
+            depth_all = np.stack(
+                [np.asarray(o["depth"]) for o in observations])
+            d_all = preprocess_depth(depth_all, cfg.min_depth, cfg.max_depth)
+            ds = cfg.env_frame_width // cfg.frame_width
+            if ds != 1:
+                d_all = d_all[:, ds // 2::ds, ds // 2::ds]
+            depth_cm[:] = d_all
+            return sem_dev, depth_cm
+
         if hasattr(self.segmenter, "batch"):
             sems = self.segmenter.batch(
                 [np.asarray(observations[i]["rgb"], np.uint8)

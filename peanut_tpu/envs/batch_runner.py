@@ -34,31 +34,38 @@ class BatchRunner:
         for i in range(self.n):
             self.runtime.reset_env(i)
 
+    def tick(self) -> int:
+        """One device tick + one env step per episode; returns the number
+        of episodes that finished (and were reset in place)."""
+        actions = self.runtime.act_batch(self.obs)
+
+        def step_one(i):
+            env = self.envs[i]
+            obs = env.step(actions[i])
+            if env.episode_over:
+                m = env.get_metrics()
+                obs = env.reset()
+                return obs, m
+            return obs, None
+
+        results = list(self._pool.map(step_one, range(self.n)))
+        self.total_steps += self.n
+        episodes_done = 0
+        for i, (obs, m) in enumerate(results):
+            self.obs[i] = obs
+            if m is not None:
+                self.metrics.append(m)
+                episodes_done += 1
+                self.runtime.reset_env(i)
+        return episodes_done
+
     def run(self, max_ticks: int, max_episodes: Optional[int] = None):
         """Run until max_ticks device ticks (or max_episodes finish)."""
         self.reset_all()
         t0 = time.perf_counter()
         episodes_done = 0
         for tick in range(max_ticks):
-            actions = self.runtime.act_batch(self.obs)
-
-            def step_one(i):
-                env = self.envs[i]
-                obs = env.step(actions[i])
-                if env.episode_over:
-                    m = env.get_metrics()
-                    obs = env.reset()
-                    return obs, m
-                return obs, None
-
-            results = list(self._pool.map(step_one, range(self.n)))
-            self.total_steps += self.n
-            for i, (obs, m) in enumerate(results):
-                self.obs[i] = obs
-                if m is not None:
-                    self.metrics.append(m)
-                    episodes_done += 1
-                    self.runtime.reset_env(i)
+            episodes_done += self.tick()
             if max_episodes and episodes_done >= max_episodes:
                 break
         self.wall_time = time.perf_counter() - t0

@@ -81,6 +81,135 @@ class MaskRCNNSegmenter:
         self._detect = _detect
         self._detect_batch = _detect_batch
         self._jnp = jnp
+        # R101-FPN activations at 800x1088 are ~1.2 GB/frame peak in bf16:
+        # chunk the batched path so 16-env runs stay inside one chip's HBM
+        self.chunk = int(getattr(cfg, "seg_batch_chunk", 8) or 8)
+        self._seg_program = None  # built lazily (device path)
+
+    # ------------------------------------------------------------------
+    # fully on-device path: uint8 RGB in, (B, n_sem, fh, fw) f32 sem out.
+    # No host round trip — preprocessing (BGR, shortest-edge resize, mean
+    # subtraction, padding), chunked detect, mask pasting at the mapper's
+    # strided sample grid, and the reference's confidence-gated per-class
+    # accumulation (segmentation.py:47-61) all run in ONE jit program, so
+    # the per-tick upload is 16x smaller (u8 vs padded f32) and the result
+    # feeds the fused tick program without touching the host.
+    # ------------------------------------------------------------------
+    def _build_seg_program(self):
+        import jax
+        import jax.numpy as jnp
+        from ..models.ops import resize_bilinear
+
+        cfg = self.cfg
+        model = self.model
+        n_cats = self.n_cats
+        eh, ew = cfg.env_frame_height, cfg.env_frame_width
+        fh, fw = cfg.frame_height, cfg.frame_width
+        ds = ew // fw
+        rh, rw, ph, pw = self.rh, self.rw, self.ph, self.pw
+        chunk = self.chunk
+        serve_dtype = jnp.bfloat16 if cfg.serve_bf16 else jnp.float32
+        mean = jnp.asarray(PIXEL_MEAN_BGR)
+        score_thr = cfg.sem_pred_prob_thr
+        goal_thr = cfg.goal_thr
+        scale_y = eh / rh
+        scale_x = ew / rw
+        # output pixel centres in env coords: the [ds//2::ds] subsample of
+        # the full-res pasted masks (batched_runtime._pack_obs convention)
+        py = jnp.asarray(np.arange(fh) * ds + ds // 2, jnp.float32)
+        px = jnp.asarray(np.arange(fw) * ds + ds // 2, jnp.float32)
+
+        def paste_one(boxes, scores, classes, masks, goal_cat):
+            """Gate + paste 100 detections into an (n_cats, fh, fw) stack.
+
+            Pasting samples each 28x28 mask at the strided env-pixel
+            centres with cv2.INTER_LINEAR coordinates ((q+0.5)*src/dst-0.5)
+            and thresholds at 0.5 — bitwise the reference's resize-paste-
+            subsample pipeline evaluated only at the surviving pixels."""
+            nd = boxes.shape[0]
+            x1 = jnp.clip(jnp.floor(boxes[:, 0] * scale_x), 0, ew)
+            y1 = jnp.clip(jnp.floor(boxes[:, 1] * scale_y), 0, eh)
+            x2 = jnp.clip(jnp.ceil(boxes[:, 2] * scale_x), 0, ew)
+            y2 = jnp.clip(jnp.ceil(boxes[:, 3] * scale_y), 0, eh)
+            bw = x2 - x1
+            bh = y2 - y1
+            valid = (jnp.isfinite(scores) & (scores >= score_thr)
+                     & (classes >= 0) & (classes < n_cats)
+                     & (bw > 0) & (bh > 0))
+            valid &= jnp.where(classes == goal_cat, scores >= goal_thr, True)
+
+            sy = (py[None, :] - y1[:, None] + 0.5) * (28.0 / bh[:, None]) - 0.5
+            sx = (px[None, :] - x1[:, None] + 0.5) * (28.0 / bw[:, None]) - 0.5
+            in_y = (py[None, :] >= y1[:, None]) & (py[None, :] < y2[:, None])
+            in_x = (px[None, :] >= x1[:, None]) & (px[None, :] < x2[:, None])
+            sy = jnp.clip(sy, 0.0, 27.0)
+            sx = jnp.clip(sx, 0.0, 27.0)
+            y0 = jnp.floor(sy)
+            x0 = jnp.floor(sx)
+            fy = sy - y0
+            fx = sx - x0
+            y0 = y0.astype(jnp.int32)
+            x0 = x0.astype(jnp.int32)
+            y1i = jnp.minimum(y0 + 1, 27)
+            x1i = jnp.minimum(x0 + 1, 27)
+            det_idx = jnp.arange(nd)[:, None, None]
+
+            def samp(yi, xi):
+                return masks[det_idx, yi[:, :, None], xi[:, None, :]]
+
+            v = (samp(y0, x0) * ((1 - fy)[:, :, None] * (1 - fx)[:, None, :])
+                 + samp(y0, x1i) * ((1 - fy)[:, :, None] * fx[:, None, :])
+                 + samp(y1i, x0) * (fy[:, :, None] * (1 - fx)[:, None, :])
+                 + samp(y1i, x1i) * (fy[:, :, None] * fx[:, None, :]))
+            m = ((v > 0.5) & in_y[:, :, None] & in_x[:, None, :]
+                 & valid[:, None, None]).astype(jnp.float32)
+            onehot = jax.nn.one_hot(classes, n_cats, dtype=jnp.float32)
+            return jnp.einsum("nhw,nc->chw", m, onehot)
+
+        @jax.jit
+        def seg_program(variables, rgb_u8, goal_cats):
+            img = rgb_u8[..., ::-1].astype(jnp.float32)     # BGR
+            img = resize_bilinear(img, (rh, rw))
+            img = img - mean
+            img = jnp.pad(img, ((0, 0), (0, ph - rh), (0, pw - rw), (0, 0)))
+            b = img.shape[0]
+            nch = b // chunk
+            imgc = img.reshape(nch, chunk, ph, pw, 3)
+
+            def run_chunk(ic):
+                det = jax.vmap(
+                    lambda im: model.apply(variables,
+                                           im.astype(serve_dtype),
+                                           method=model.detect))(ic)
+                return {k: v.astype(jnp.float32) for k, v in det.items()}
+
+            dets = jax.lax.map(run_chunk, imgc)
+            dets = {k: v.reshape((b,) + v.shape[2:]) for k, v in dets.items()}
+            sem = jax.vmap(paste_one)(dets["boxes"], dets["scores"],
+                                      dets["classes"], dets["masks"],
+                                      goal_cats)
+            pad_ch = cfg.num_sem_categories - n_cats
+            return jnp.pad(sem, ((0, 0), (0, pad_ch), (0, 0), (0, 0)))
+
+        # exposed for tests: paste a batch of detection sets without detect
+        self._paste_jit = jax.jit(jax.vmap(paste_one))
+        return seg_program
+
+    def batch_device(self, rgbs_u8: np.ndarray, goal_cats):
+        """(B, eh, ew, 3) uint8 RGB -> device (B, n_sem, fh, fw) f32 sem
+        stack.  B must be a multiple of the chunk size (callers pad)."""
+        import jax.numpy as jnp
+
+        if self._seg_program is None:
+            self._seg_program = self._build_seg_program()
+        b = rgbs_u8.shape[0]
+        pad = (-b) % self.chunk
+        if pad:
+            rgbs_u8 = np.pad(rgbs_u8, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            goal_cats = np.pad(np.asarray(goal_cats, np.int32), (0, pad))
+        out = self._seg_program(self.variables, jnp.asarray(rgbs_u8),
+                                jnp.asarray(np.asarray(goal_cats, np.int32)))
+        return out[:b]
 
     def _preprocess(self, rgb: np.ndarray) -> np.ndarray:
         import cv2
@@ -99,10 +228,27 @@ class MaskRCNNSegmenter:
         return self._postprocess(rgb.shape[:2], det, goal_cat)
 
     def batch(self, rgbs, goal_cats) -> list:
-        """Segment a batch of frames with ONE device program (the
-        parallel-episode runtime path)."""
+        """Segment a batch of frames with one device program per fixed-size
+        chunk (the parallel-episode runtime path).  Chunking (pad-to-chunk,
+        so there is exactly one compiled geometry) bounds peak HBM while
+        keeping the MXU batched."""
+        n = len(rgbs)
         imgs = np.stack([self._preprocess(r) for r in rgbs])
-        dets = self._detect_batch(self.variables, self._jnp.asarray(imgs))
+        chunk = min(self.chunk, n)
+        dets_np = None
+        for lo in range(0, n, chunk):
+            part = imgs[lo:lo + chunk]
+            if part.shape[0] < chunk:
+                part = np.pad(part, ((0, chunk - part.shape[0]),
+                                     (0, 0), (0, 0), (0, 0)))
+            det = self._detect_batch(self.variables, self._jnp.asarray(part))
+            det = {k: np.asarray(v) for k, v in det.items()}
+            if dets_np is None:
+                dets_np = {k: [v] for k, v in det.items()}
+            else:
+                for k, v in det.items():
+                    dets_np[k].append(v)
+        dets = {k: np.concatenate(v)[:n] for k, v in dets_np.items()}
         out = []
         for i, rgb in enumerate(rgbs):
             det = {k: v[i] for k, v in dets.items()}
