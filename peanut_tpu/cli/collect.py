@@ -16,7 +16,10 @@ from ..config import NavConfig
 from ..constants import hm3d_names
 
 
-def make_env(cfg: NavConfig, fake: bool, seed: int = 100):
+def make_env(cfg: NavConfig, fake: bool, seed: int = None):
+    # --seed flag (reference arguments.py:10) governs env seeding; the
+    # historical fake-env default (100) is kept when the flag is untouched
+    seed = (100 if cfg.seed == 1 else cfg.seed) if seed is None else seed
     if fake:
         from ..envs import FakeNavEnv
         return FakeNavEnv(cfg, seed=seed)

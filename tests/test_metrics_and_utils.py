@@ -111,3 +111,56 @@ def test_visualizer_renders(tmp_path):
     vis.show_or_dump(frame)
     import glob
     assert glob.glob(str(tmp_path) + "/dump/**/*.jpg", recursive=True)
+
+
+# ---- layer-decay optimizer constructor (mmseg LearningRateDecay twin) ----
+
+def test_layer_decay_optimizer():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from peanut_tpu.prediction.optimizers import (
+        layer_decay_scales, make_layer_decay_optimizer, vit_layer_id)
+
+    params = {
+        "backbone": {
+            "pos_embed": jnp.zeros((1, 10, 8)),
+            "patch_embed": {"conv": {"kernel": jnp.zeros((4, 4, 3, 8)),
+                                     "bias": jnp.zeros(8)}},
+            "block0": {"attn": {"qkv": {"kernel": jnp.zeros((8, 24)),
+                                        "bias": jnp.zeros(24)}}},
+            "block2": {"mlp": {"fc1": {"kernel": jnp.zeros((8, 16))}}},
+        },
+        "decode_head": {"conv_seg": {"kernel": jnp.zeros((1, 1, 8, 6)),
+                                     "bias": jnp.zeros(6)}},
+    }
+    num_layers, rate = 3, 0.5
+    total = num_layers + 2
+    scales = layer_decay_scales(params, rate, num_layers)
+    # embeddings -> layer 0 -> rate^(total-1); block i -> i+1; head -> total-1
+    assert np.isclose(scales["backbone"]["pos_embed"], rate ** (total - 1))
+    assert np.isclose(
+        scales["backbone"]["block0"]["attn"]["qkv"]["kernel"],
+        rate ** (total - 2))
+    assert np.isclose(
+        scales["backbone"]["block2"]["mlp"]["fc1"]["kernel"],
+        rate ** (total - 4))
+    assert np.isclose(scales["decode_head"]["conv_seg"]["kernel"], 1.0)
+
+    tx = make_layer_decay_optimizer(params, 1.0, decay_rate=rate,
+                                    num_layers=num_layers, weight_decay=0.0)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # identical unit grads -> update magnitude ratio == lr-scale ratio
+    u_blk0 = float(np.abs(updates["backbone"]["block0"]["attn"]["qkv"]
+                          ["kernel"][0, 0]))
+    u_head = float(np.abs(updates["decode_head"]["conv_seg"]
+                          ["kernel"][0, 0, 0, 0]))
+    assert np.isclose(u_blk0 / u_head, rate ** (total - 2), atol=1e-5)
+
+    # id rules match the reference's get_layer_id_for_vit
+    assert vit_layer_id(["backbone", "cls_token"], total) == 0
+    assert vit_layer_id(["backbone", "block1", "w"], total) == 2
+    assert vit_layer_id(["decode_head", "w"], total) == total - 1
