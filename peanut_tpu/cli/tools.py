@@ -83,6 +83,40 @@ def confusion_matrix(args):
                                            / max(cm.sum(), 1))}))
 
 
+def browse_dataset(args):
+    """Iterate a dataset and report per-sample stats; optionally dump
+    composite previews (tools/browse_dataset.py, headless-first)."""
+    from ..registry import DATASETS
+
+    ds = DATASETS.get(args.dataset_type)(
+        data_root=args.data_root, img_dir=args.img_dir, ann_dir=args.ann_dir)
+    n = len(ds) if args.max_samples <= 0 else min(len(ds), args.max_samples)
+    print(f"{args.dataset_type}: {len(ds)} samples (showing {n})")
+    for i in range(n):
+        s = ds[i]
+        img, gt = np.asarray(s["img"]), np.asarray(s["gt"])
+        classes, counts = np.unique(gt[gt != ds.ignore_index],
+                                    return_counts=True)
+        print(f"  [{i}] img {img.shape} {img.dtype} "
+              f"range [{img.min():.3g}, {img.max():.3g}] | gt {gt.shape} "
+              f"classes {dict(zip(classes.tolist(), counts.tolist()))}")
+        if args.out_dir:
+            import os
+
+            import cv2
+
+            os.makedirs(args.out_dir, exist_ok=True)
+            vis = img if img.dtype == np.uint8 else np.clip(
+                (img - img.min()) / max(img.ptp(), 1e-6) * 255, 0,
+                255).astype(np.uint8)
+            if vis.ndim == 3 and vis.shape[-1] > 3:
+                vis = vis[..., :3]
+            gt_vis = (gt.astype(np.float32) * (255.0 / max(gt.max(), 1)))
+            gt_vis = np.stack([gt_vis] * 3, -1).astype(np.uint8)
+            cv2.imwrite(os.path.join(args.out_dir, f"sample_{i}.png"),
+                        np.concatenate([vis[..., ::-1], gt_vis], axis=1))
+
+
 def collect_env(args):
     """Environment report (mmseg/utils/collect_env.py parity)."""
     import platform
@@ -135,6 +169,15 @@ def main(argv=None):
     cmx.add_argument("--max_samples", type=int, default=0)
     cmx.add_argument("--out", default=None)
     cmx.set_defaults(fn=confusion_matrix)
+
+    bd = sub.add_parser("browse_dataset")
+    bd.add_argument("data_root")
+    bd.add_argument("--dataset_type", default="CustomDataset")
+    bd.add_argument("--img_dir", default="img_dir")
+    bd.add_argument("--ann_dir", default="ann_dir")
+    bd.add_argument("--max_samples", type=int, default=8)
+    bd.add_argument("--out_dir", default=None)
+    bd.set_defaults(fn=browse_dataset)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -35,10 +35,31 @@ def main(argv=None):
     parser.add_argument("--checkpoint_interval", type=int, default=2000)
     parser.add_argument("--num_workers", type=int, default=8)
     parser.add_argument("--no_resume", action="store_true")
+    parser.add_argument("--config", type=str, default=None,
+                        help="optional model config file (defaults to the "
+                             "PEANUT prediction config)")
+    parser.add_argument("--distributed", type=int, default=0,
+                        help="initialize jax.distributed (multi-host; "
+                             "coordinator from JAX_COORDINATOR_ADDRESS / "
+                             "SLURM / Cloud-TPU auto-detection)")
     ns, _ = parser.parse_known_args(argv)
 
     import jax
     import optax
+
+    if ns.distributed:
+        # scripts/dist_train.sh exports explicit coordinates; on SLURM or
+        # Cloud TPU jax auto-detects when they are absent
+        kw = {}
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            kw = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ.get("JAX_NUM_PROCESSES", 1)),
+                process_id=int(os.environ.get("JAX_PROCESS_ID", 0)))
+        jax.distributed.initialize(**kw)
+        logging.info("distributed: process %d/%d, %d devices",
+                     jax.process_index(), jax.process_count(),
+                     len(jax.devices()))
 
     from ..core.mesh import make_mesh
     from ..models import build_segmentor, init_segmentor_params
@@ -61,9 +82,18 @@ def main(argv=None):
                             num_workers=ns.num_workers)
     logging.info("Loaded %d samples", len(dataset))
 
-    model = build_segmentor(peanut_prediction_config())
+    if ns.config:
+        from ..core.config_file import load_config
+
+        model_cfg = load_config(ns.config)
+        model_cfg = model_cfg.get("model", model_cfg)
+        in_ch = model_cfg.get("backbone", {}).get("in_channels", 14)
+    else:
+        model_cfg = peanut_prediction_config()
+        in_ch = 14
+    model = build_segmentor(model_cfg)
     variables = init_segmentor_params(
-        model, (1, ns.crop_size, ns.crop_size, 14), train=True)
+        model, (1, ns.crop_size, ns.crop_size, in_ch), train=True)
 
     tx = optax.adam(learning_rate=poly_schedule(tcfg))
     state, tx = create_train_state(model, variables, tcfg, tx=tx)

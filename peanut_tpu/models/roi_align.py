@@ -123,47 +123,53 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
 
     flat = stacked.reshape(total_h * max_w, c)
 
+    # --- MXU formulation -------------------------------------------------
+    # Instead of gathering the full (P*s)^2 bilinear lattice (4 corner
+    # gathers — memory- and gather-bound), extract ONE aligned window per
+    # ROI and fold sampling + bilinear interpolation + slot averaging into
+    # per-ROI separable matrices:  pooled = A_y @ window @ A_x^T, batched
+    # over ROIs/channels on the MXU.  A_y[i, r] = sum_j mask_j *
+    # hat(sy[i,j] - r) is the exact bilinear hat-function weight, so the
+    # result is identical to the gather formulation up to summation order.
+    # Window rows that alias other pyramid levels get zero hat weight, so
+    # the aliasing is inert.
+    max_roi_px = max(feats[-1].shape[0], feats[-1].shape[1])
+    win = int(min(total_h, -(-(max_roi_px + 2) // 8) * 8))
+    r_idx = jnp.arange(win, dtype=jnp.float32)             # (win,)
+
+    def interp_matrix(sam, msk, origin):
+        """(N, p, s) sample coords + slot mask -> (N, p, win) weights."""
+        local = sam - origin[:, None, None]                # window-local
+        hat = jnp.clip(1.0 - jnp.abs(local[..., None]
+                                     - r_idx[None, None, None, :]), 0.0, 1.0)
+        return (hat * msk[:, None, :, None]).sum(axis=2)   # (N, p, win)
+
+    oy = jnp.clip(jnp.floor(sample_y.min(axis=(1, 2))), 0.0, None)
+    ox = jnp.clip(jnp.floor(sample_x.min(axis=(1, 2))), 0.0, None)
+    ay = interp_matrix(sample_y, mask_y, oy)               # (N, p, win)
+    ax = interp_matrix(sample_x, mask_x, ox)
+    cnt = jnp.maximum(gx * gy, 1.0)
+
     def pool_rois(args):
-        """Pool one ROI chunk with ONE fused (n_c, P*s, P*s, C) lattice
-        gather (the fast TPU formulation).  Chunking over ROIs bounds the
-        lattice transient; within a chunk everything is a single big
-        gather + weighted reduction that XLA fuses."""
-        sam_y, sam_x, m_y, m_x, cnt, off_, lh_, lw_ = args
-        n_c = sam_y.shape[0]
-        sy = sam_y.reshape(n_c, p * s)                     # (n_c, P*s)
-        sx = sam_x.reshape(n_c, p * s)
-        y0f = jnp.floor(sy)
-        x0f = jnp.floor(sx)
-        wy1 = sy - y0f
-        wx1 = sx - x0f
+        ay_, ax_, oy_, ox_, off_, cnt_ = args
+        n_c = ay_.shape[0]
+        rows = (oy_[:, None] + off_[:, None]
+                + r_idx[None, :]).astype(jnp.int32)        # (n_c, win)
+        cols = (ox_[:, None] + r_idx[None, :]).astype(jnp.int32)
+        rows = jnp.clip(rows, 0, total_h - 1)
+        cols = jnp.clip(cols, 0, max_w - 1)
+        lin = rows[:, :, None] * max_w + cols[:, None, :]
+        window = flat[lin.reshape(-1)].reshape(n_c, win, win, c)
+        pooled = jnp.einsum("npr,nrwc->npwc", ay_,
+                            window.astype(jnp.float32))
+        pooled = jnp.einsum("nqw,npwc->npqc", ax_, pooled)
+        return pooled / cnt_[:, None, None, None]
 
-        def gather(yi, xi):
-            rows = jnp.clip(yi, 0, total_h - 1).astype(jnp.int32)
-            cols = jnp.clip(xi, 0, max_w - 1).astype(jnp.int32)
-            lin = rows[:, :, None] * max_w + cols[:, None, :]
-            return flat[lin.reshape(-1)].reshape(n_c, p * s, p * s, c)
-
-        y0 = y0f + off_[:, None]
-        y1i = jnp.minimum(y0f + 1, lh_[:, None] - 1) + off_[:, None]
-        x1i = jnp.minimum(x0f + 1, lw_[:, None] - 1)
-        wy1e = wy1[:, :, None, None]
-        wx1e = wx1[:, None, :, None]
-        val = (gather(y0, x0f) * ((1 - wy1e) * (1 - wx1e))
-               + gather(y0, x1i) * ((1 - wy1e) * wx1e)
-               + gather(y1i, x0f) * (wy1e * (1 - wx1e))
-               + gather(y1i, x1i) * (wy1e * wx1e))
-        wy_slot = m_y[:, None, :, None, None, None]
-        wx_slot = m_x[:, None, None, None, :, None]
-        val = val.reshape(n_c, p, s, p, s, c).astype(jnp.float32)
-        val = (val * wy_slot * wx_slot).sum(axis=(2, 4))
-        return val / cnt[:, None, None, None]
-
-    args = (sample_y, sample_x, mask_y, mask_x,
-            jnp.maximum(gx * gy, 1.0), lvl_off, lvl_h, lvl_w)
-    # chunk so the lattice transient stays ~tens of MB even under an
-    # 8-way detect vmap; one chunk when the ROI set is already small
-    roi_chunk = 128
-    if s <= 2 or n <= roi_chunk:
+    args = (ay, ax, oy, ox, lvl_off, cnt)
+    # chunk ROIs so the window transient stays bounded under a batched
+    # detect vmap; one chunk when the ROI set is already small
+    roi_chunk = 256
+    if n <= roi_chunk:
         out = pool_rois(args)
     else:
         pad_n = (-n) % roi_chunk

@@ -344,3 +344,51 @@ def test_d2_converter_structure(small_mask_rcnn):
         assert flat_conv[path].shape == leaf.shape, path
         np.testing.assert_allclose(flat_conv[path], np.asarray(leaf),
                                    rtol=1e-6)
+
+
+def _synthetic_scene(h=128, w=160):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([xx / w * 60, yy / h * 60, (xx + yy) / (h + w) * 60], -1)
+    img[30:70, 20:60] += np.array([80.0, -20.0, 30.0])
+    img[60:110, 90:140] += np.array([-30.0, 70.0, 40.0])
+    return img
+
+
+@pytest.mark.slow
+def test_detect_golden_regression():
+    """End-to-end detect() on a fixed synthetic scene with PRNGKey(0)
+    weights must match the committed fixture (regression anchor for the
+    full pipeline numerics: backbone, FPN, RPN, NMS, ROIAlign, heads).
+    Regenerate with scripts/gen_mask_rcnn_golden.py after an INTENDED
+    numerics change (and say so in the commit)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "mask_rcnn_golden.npz")
+    golden = np.load(path)
+
+    model = MaskRCNN(num_classes=9, depth=50, score_thresh=0.05)
+    img = jnp.asarray(_synthetic_scene())
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, method=model.detect))(
+        jax.random.PRNGKey(0), img)
+    out = jax.jit(lambda v, x: model.apply(v, x, method=model.detect))(
+        variables, img)
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    want_finite = np.isfinite(golden["scores"])
+    got_finite = np.isfinite(out["scores"])
+    np.testing.assert_array_equal(got_finite, want_finite)
+    k = int(want_finite.sum())
+    assert k > 0, "fixture has no detections"
+    np.testing.assert_allclose(out["scores"][:k], golden["scores"][:k],
+                               atol=1e-3)
+    np.testing.assert_array_equal(out["classes"][:k], golden["classes"][:k])
+    np.testing.assert_allclose(out["boxes"][:k], golden["boxes"][:k],
+                               atol=1.0)
+    # mask IoU per detection (binarized at 0.5)
+    gm = golden["masks"][:k] > 0.5
+    om = out["masks"][:k] > 0.5
+    inter = (gm & om).sum(axis=(1, 2))
+    union = np.maximum((gm | om).sum(axis=(1, 2)), 1)
+    assert (inter / union >= 0.97).all()

@@ -1,0 +1,226 @@
+"""Zoo weight converters vs the flax init structures (model_converters
+parity — reference prediction/tools/model_converters/)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from peanut_tpu.models.zoo_import import (convert_augreg_vit,
+                                          convert_official_mit,
+                                          convert_timm_vit)
+
+
+def _flat_shapes(tree, prefix=()):
+    out = {}
+    for k, v in dict(tree).items():
+        if hasattr(v, "items"):
+            out.update(_flat_shapes(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = tuple(v.shape)
+    return out
+
+
+def _assert_same(converted_params, init_params):
+    got = _flat_shapes(converted_params)
+    want = _flat_shapes(init_params)
+    missing = sorted(set(want) - set(got))
+    extra = sorted(set(got) - set(want))
+    assert not missing, f"missing {missing[:6]}"
+    assert not extra, f"extra {extra[:6]}"
+    bad = [(p, got[p], want[p]) for p in want if got[p] != want[p]]
+    assert not bad, f"shape mismatch {bad[:6]}"
+
+
+def timm_vit_manifest(d=8, depth=2, patch=16, img=224):
+    sd = {}
+    n = (img // patch) ** 2
+    sd["cls_token"] = (1, 1, d)
+    sd["pos_embed"] = (1, n + 1, d)
+    sd["patch_embed.proj.weight"] = (d, 3, patch, patch)
+    sd["patch_embed.proj.bias"] = (d,)
+    for i in range(depth):
+        t = f"blocks.{i}"
+        sd[f"{t}.norm1.weight"] = (d,)
+        sd[f"{t}.norm1.bias"] = (d,)
+        sd[f"{t}.attn.qkv.weight"] = (3 * d, d)
+        sd[f"{t}.attn.qkv.bias"] = (3 * d,)
+        sd[f"{t}.attn.proj.weight"] = (d, d)
+        sd[f"{t}.attn.proj.bias"] = (d,)
+        sd[f"{t}.norm2.weight"] = (d,)
+        sd[f"{t}.norm2.bias"] = (d,)
+        sd[f"{t}.mlp.fc1.weight"] = (4 * d, d)
+        sd[f"{t}.mlp.fc1.bias"] = (4 * d,)
+        sd[f"{t}.mlp.fc2.weight"] = (d, 4 * d)
+        sd[f"{t}.mlp.fc2.bias"] = (d,)
+    sd["norm.weight"] = (d,)
+    sd["norm.bias"] = (d,)
+    return sd
+
+
+def test_timm_vit_converter(rng):
+    from peanut_tpu.models.vit import VisionTransformer
+
+    d, depth = 8, 2
+    sd = {k: rng.randn(*s).astype(np.float32)
+          for k, s in timm_vit_manifest(d, depth).items()}
+    converted, leftovers = convert_timm_vit(sd)
+    # cls_token and the (unused) final norm are the only acceptable rest
+    assert set(leftovers) <= {"cls_token", "norm.weight", "norm.bias"}
+
+    model = VisionTransformer(embed_dim=d, depth=depth, num_heads=2,
+                              out_indices=(0, 1))
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 32, 32, 3), jnp.float32))
+    _assert_same(converted["params"], init["params"])
+    # value check through the qkv transpose
+    np.testing.assert_allclose(
+        converted["params"]["block0"]["attn"]["qkv"]["kernel"],
+        sd["blocks.0.attn.qkv.weight"].T)
+
+
+def mit_b0_manifest():
+    dims = (32, 64, 160, 256)
+    layers = (2, 2, 2, 2)
+    sr = (8, 4, 2, 1)
+    patch = (7, 3, 3, 3)
+    sd = {}
+    in_c = 3
+    for i, (d, nl) in enumerate(zip(dims, layers), 1):
+        sd[f"patch_embed{i}.proj.weight"] = (d, in_c, patch[i - 1],
+                                             patch[i - 1])
+        sd[f"patch_embed{i}.proj.bias"] = (d,)
+        sd[f"patch_embed{i}.norm.weight"] = (d,)
+        sd[f"patch_embed{i}.norm.bias"] = (d,)
+        sd[f"norm{i}.weight"] = (d,)
+        sd[f"norm{i}.bias"] = (d,)
+        for j in range(nl):
+            t = f"block{i}.{j}"
+            for ln in ("norm1", "norm2"):
+                sd[f"{t}.{ln}.weight"] = (d,)
+                sd[f"{t}.{ln}.bias"] = (d,)
+            sd[f"{t}.attn.q.weight"] = (d, d)
+            sd[f"{t}.attn.q.bias"] = (d,)
+            sd[f"{t}.attn.kv.weight"] = (2 * d, d)
+            sd[f"{t}.attn.kv.bias"] = (2 * d,)
+            sd[f"{t}.attn.proj.weight"] = (d, d)
+            sd[f"{t}.attn.proj.bias"] = (d,)
+            if sr[i - 1] > 1:
+                sd[f"{t}.attn.sr.weight"] = (d, d, sr[i - 1], sr[i - 1])
+                sd[f"{t}.attn.sr.bias"] = (d,)
+                sd[f"{t}.attn.norm.weight"] = (d,)
+                sd[f"{t}.attn.norm.bias"] = (d,)
+            hidden = d * 4
+            sd[f"{t}.mlp.fc1.weight"] = (hidden, d)
+            sd[f"{t}.mlp.fc1.bias"] = (hidden,)
+            sd[f"{t}.mlp.dwconv.dwconv.weight"] = (hidden, 1, 3, 3)
+            sd[f"{t}.mlp.dwconv.dwconv.bias"] = (hidden,)
+            sd[f"{t}.mlp.fc2.weight"] = (d, hidden)
+            sd[f"{t}.mlp.fc2.bias"] = (d,)
+        in_c = d
+    return sd
+
+
+@pytest.mark.slow
+def test_official_mit_converter(rng):
+    from peanut_tpu.models.mit import MITB0
+
+    sd = {k: rng.randn(*s).astype(np.float32) * 0.05
+          for k, s in mit_b0_manifest().items()}
+    converted, leftovers = convert_official_mit(sd)
+    assert not leftovers, leftovers[:8]
+
+    model = MITB0()
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 64, 64, 3), jnp.float32))
+    _assert_same(converted["params"], init["params"])
+
+
+def test_official_swin_leftovers(rng):
+    from peanut_tpu.models.zoo_import import convert_official_swin
+
+    sd = {
+        "patch_embed.proj.weight": rng.randn(8, 3, 4, 4).astype(np.float32),
+        "patch_embed.proj.bias": rng.randn(8).astype(np.float32),
+        "layers.0.blocks.0.norm1.weight": rng.randn(8).astype(np.float32),
+        "layers.0.blocks.0.norm1.bias": rng.randn(8).astype(np.float32),
+        "layers.0.blocks.0.norm2.weight": rng.randn(8).astype(np.float32),
+        "layers.0.blocks.0.norm2.bias": rng.randn(8).astype(np.float32),
+        "layers.0.blocks.0.attn.qkv.weight":
+            rng.randn(24, 8).astype(np.float32),
+        "layers.0.blocks.0.attn.qkv.bias": rng.randn(24).astype(np.float32),
+        "layers.0.blocks.0.attn.proj.weight":
+            rng.randn(8, 8).astype(np.float32),
+        "layers.0.blocks.0.attn.proj.bias": rng.randn(8).astype(np.float32),
+        "layers.0.blocks.0.mlp.fc1.weight":
+            rng.randn(32, 8).astype(np.float32),
+        "layers.0.blocks.0.mlp.fc1.bias": rng.randn(32).astype(np.float32),
+        "layers.0.blocks.0.mlp.fc2.weight":
+            rng.randn(8, 32).astype(np.float32),
+        "layers.0.blocks.0.mlp.fc2.bias": rng.randn(8).astype(np.float32),
+        "layers.0.blocks.0.attn.relative_position_bias_table":
+            rng.randn(49, 2).astype(np.float32),
+    }
+    converted, leftovers = convert_official_swin(sd)
+    assert leftovers == [
+        "layers.0.blocks.0.attn.relative_position_bias_table"]
+    assert "stage0_block0" in converted["params"]
+
+
+def test_augreg_vit_converter(rng):
+    d, heads, dh, depth = 8, 2, 4, 2
+    npz = {
+        "embedding/kernel": rng.randn(16, 16, 3, d).astype(np.float32),
+        "embedding/bias": rng.randn(d).astype(np.float32),
+        "Transformer/posembed_input/pos_embedding":
+            rng.randn(1, 197, d).astype(np.float32),
+    }
+    for i in range(depth):
+        t = f"Transformer/encoderblock_{i}"
+        a = f"{t}/MultiHeadDotProductAttention_1"
+        for nm in ("query", "key", "value"):
+            npz[f"{a}/{nm}/kernel"] = rng.randn(d, heads, dh).astype(
+                np.float32)
+            npz[f"{a}/{nm}/bias"] = rng.randn(heads, dh).astype(np.float32)
+        npz[f"{a}/out/kernel"] = rng.randn(heads, dh, d).astype(np.float32)
+        npz[f"{a}/out/bias"] = rng.randn(d).astype(np.float32)
+        for ln in ("LayerNorm_0", "LayerNorm_2"):
+            npz[f"{t}/{ln}/scale"] = rng.randn(d).astype(np.float32)
+            npz[f"{t}/{ln}/bias"] = rng.randn(d).astype(np.float32)
+        npz[f"{t}/MlpBlock_3/Dense_0/kernel"] = rng.randn(d, 4 * d).astype(
+            np.float32)
+        npz[f"{t}/MlpBlock_3/Dense_0/bias"] = rng.randn(4 * d).astype(
+            np.float32)
+        npz[f"{t}/MlpBlock_3/Dense_1/kernel"] = rng.randn(4 * d, d).astype(
+            np.float32)
+        npz[f"{t}/MlpBlock_3/Dense_1/bias"] = rng.randn(d).astype(np.float32)
+
+    converted, leftovers = convert_augreg_vit(npz)
+    assert not leftovers
+    from peanut_tpu.models.vit import VisionTransformer
+
+    model = VisionTransformer(embed_dim=d, depth=depth, num_heads=heads,
+                              out_indices=(0, 1))
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 32, 32, 3), jnp.float32))
+    _assert_same(converted["params"], init["params"])
+
+
+def test_dataset_remap_cli(tmp_path, rng):
+    import cv2
+    import json
+    from peanut_tpu.cli import convert as convert_cli
+
+    src = tmp_path / "in"
+    dst = tmp_path / "out"
+    src.mkdir()
+    ann = (rng.rand(16, 16) * 4).astype(np.uint8)
+    cv2.imwrite(str(src / "a.png"), ann)
+    table = {"0": 10, "1": 11, "2": 12, "3": 13}
+    tp = tmp_path / "t.json"
+    tp.write_text(json.dumps(table))
+    convert_cli.main(["dataset", "remap", str(src), str(dst),
+                      "--table", str(tp)])
+    out = cv2.imread(str(dst / "a.png"), cv2.IMREAD_UNCHANGED)
+    np.testing.assert_array_equal(out, ann + 10)
