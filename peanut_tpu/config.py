@@ -90,6 +90,8 @@ class NavConfig:
     num_envs: int = 1            # parallel episodes batched on device
     exact_parity: bool = True    # bit-faithful splat rounding vs. fast path
     serve_bf16: bool = False     # cast CNN weights/activations for serving
+    seg_batch_chunk: int = 8     # Mask R-CNN frames per detect program
+                                 # (bounds HBM; 16-env runs use 2 chunks)
     fmm_sweeps: int = 2          # fast-sweeping iterations for eikonal solve
     platform: Optional[str] = None  # force jax platform (tests use "cpu")
 

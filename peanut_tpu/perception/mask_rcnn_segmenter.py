@@ -144,23 +144,14 @@ class MaskRCNNSegmenter:
             in_x = (px[None, :] >= x1[:, None]) & (px[None, :] < x2[:, None])
             sy = jnp.clip(sy, 0.0, 27.0)
             sx = jnp.clip(sx, 0.0, 27.0)
-            y0 = jnp.floor(sy)
-            x0 = jnp.floor(sx)
-            fy = sy - y0
-            fx = sx - x0
-            y0 = y0.astype(jnp.int32)
-            x0 = x0.astype(jnp.int32)
-            y1i = jnp.minimum(y0 + 1, 27)
-            x1i = jnp.minimum(x0 + 1, 27)
-            det_idx = jnp.arange(nd)[:, None, None]
-
-            def samp(yi, xi):
-                return masks[det_idx, yi[:, :, None], xi[:, None, :]]
-
-            v = (samp(y0, x0) * ((1 - fy)[:, :, None] * (1 - fx)[:, None, :])
-                 + samp(y0, x1i) * ((1 - fy)[:, :, None] * fx[:, None, :])
-                 + samp(y1i, x0) * (fy[:, :, None] * (1 - fx)[:, None, :])
-                 + samp(y1i, x1i) * (fy[:, :, None] * fx[:, None, :]))
+            # separable bilinear as per-detection hat-weight matrices on
+            # the MXU — the gather formulation moves ~500M random elements
+            # per tick; this is ~1 GMAC of dense contractions instead
+            k_idx = jnp.arange(28, dtype=jnp.float32)
+            ay = jnp.clip(1.0 - jnp.abs(sy[..., None] - k_idx), 0.0, 1.0)
+            ax = jnp.clip(1.0 - jnp.abs(sx[..., None] - k_idx), 0.0, 1.0)
+            t = jnp.einsum("nkl,nwl->nkw", masks, ax)
+            v = jnp.einsum("nhk,nkw->nhw", ay, t)
             m = ((v > 0.5) & in_y[:, :, None] & in_x[:, None, :]
                  & valid[:, None, None]).astype(jnp.float32)
             onehot = jax.nn.one_hot(classes, n_cats, dtype=jnp.float32)
@@ -168,9 +159,11 @@ class MaskRCNNSegmenter:
 
         @jax.jit
         def seg_program(variables, rgb_u8, goal_cats):
-            img = rgb_u8[..., ::-1].astype(jnp.float32)     # BGR
+            # preprocessing in the serving dtype: the resize is two big
+            # matrix products (MXU in bf16); the model consumes bf16 anyway
+            img = rgb_u8[..., ::-1].astype(serve_dtype)     # BGR
             img = resize_bilinear(img, (rh, rw))
-            img = img - mean
+            img = img - mean.astype(serve_dtype)
             img = jnp.pad(img, ((0, 0), (0, ph - rh), (0, pw - rw), (0, 0)))
             b = img.shape[0]
             nch = b // chunk
