@@ -694,6 +694,25 @@ class BatchedNavRuntime:
         return [{"action": a} for a in actions]
 
     # ------------------------------------------------------------------
+    def stage_obs(self, obs: Dict) -> None:
+        """Begin this observation's host->HBM copy immediately (called from
+        the env-step thread pool so uploads overlap env stepping — the
+        north star's double-buffered observation pipeline).  Only the RGB
+        frame is large enough to matter; it is staged under a private key
+        consumed by _pack_obs."""
+        if hasattr(self.segmenter, "batch_device"):
+            import jax
+
+            obs["_rgb_dev"] = jax.device_put(
+                np.asarray(obs["rgb"], np.uint8))
+        cfg = self.cfg
+        d = preprocess_depth(np.asarray(obs["depth"])[None],
+                             cfg.min_depth, cfg.max_depth)[0]
+        ds = cfg.env_frame_width // cfg.frame_width
+        if ds != 1:
+            d = d[ds // 2::ds, ds // 2::ds]
+        obs["_depth_np"] = d
+
     def _pack_obs(self, observations, goal_cats):
         cfg = self.cfg
         n = self.n
@@ -705,17 +724,27 @@ class BatchedNavRuntime:
             # Mask R-CNN serving path: uint8 RGB up, everything else stays
             # on device (preprocess + detect + paste + accumulate in one
             # program); the tick program consumes the device array directly
-            rgbs = np.stack([np.asarray(observations[i]["rgb"], np.uint8)
-                             for i in range(n)])
+            if all("_rgb_dev" in o for o in observations):
+                import jax.numpy as jnp
+
+                rgbs = jnp.stack([o["_rgb_dev"] for o in observations])
+            else:
+                rgbs = np.stack([np.asarray(observations[i]["rgb"], np.uint8)
+                                 for i in range(n)])
             sem_dev = self.segmenter.batch_device(
                 rgbs, [int(g) for g in goal_cats])
-            depth_all = np.stack(
-                [np.asarray(o["depth"]) for o in observations])
-            d_all = preprocess_depth(depth_all, cfg.min_depth, cfg.max_depth)
-            ds = cfg.env_frame_width // cfg.frame_width
-            if ds != 1:
-                d_all = d_all[:, ds // 2::ds, ds // 2::ds]
-            depth_cm[:] = d_all
+            if all("_depth_np" in o for o in observations):
+                depth_cm[:] = np.stack(
+                    [o["_depth_np"] for o in observations])
+            else:
+                depth_all = np.stack(
+                    [np.asarray(o["depth"]) for o in observations])
+                d_all = preprocess_depth(depth_all, cfg.min_depth,
+                                         cfg.max_depth)
+                ds = cfg.env_frame_width // cfg.frame_width
+                if ds != 1:
+                    d_all = d_all[:, ds // 2::ds, ds // 2::ds]
+                depth_cm[:] = d_all
             return sem_dev, depth_cm
 
         if hasattr(self.segmenter, "batch"):
@@ -734,12 +763,18 @@ class BatchedNavRuntime:
 
         ds = cfg.env_frame_width // cfg.frame_width
 
-        # vectorized assembly across the whole batch (single numpy passes)
-        depth_all = np.stack([np.asarray(o["depth"]) for o in observations])
+        # vectorized assembly across the whole batch (single numpy passes);
+        # depth preprocessed in the env-step pool when staged (stage_obs)
         sem_all = np.stack(sems)
-        d_all = preprocess_depth(depth_all, cfg.min_depth, cfg.max_depth)
+        if all("_depth_np" in o for o in observations):
+            d_all = np.stack([o["_depth_np"] for o in observations])
+        else:
+            depth_all = np.stack(
+                [np.asarray(o["depth"]) for o in observations])
+            d_all = preprocess_depth(depth_all, cfg.min_depth, cfg.max_depth)
+            if ds != 1:
+                d_all = d_all[:, ds // 2::ds, ds // 2::ds]
         if ds != 1:
-            d_all = d_all[:, ds // 2::ds, ds // 2::ds]
             sem_all = sem_all[:, ds // 2::ds, ds // 2::ds]
         # semantic masks are instance-count accumulations; uint8 is exact
         sem_u8[:] = np.clip(sem_all, 0, 255).astype(np.uint8).transpose(

@@ -38,6 +38,7 @@ class BatchRunner:
         """One device tick + one env step per episode; returns the number
         of episodes that finished (and were reset in place)."""
         actions = self.runtime.act_batch(self.obs)
+        upload = getattr(self.runtime, "stage_obs", None)
 
         def step_one(i):
             env = self.envs[i]
@@ -45,8 +46,14 @@ class BatchRunner:
             if env.episode_over:
                 m = env.get_metrics()
                 obs = env.reset()
-                return obs, m
-            return obs, None
+            else:
+                m = None
+            if upload is not None:
+                # start this env's host->HBM observation copy NOW, while
+                # the other envs are still stepping (double-buffered
+                # uploads — BASELINE north star)
+                upload(obs)
+            return obs, m
 
         results = list(self._pool.map(step_one, range(self.n)))
         self.total_steps += self.n

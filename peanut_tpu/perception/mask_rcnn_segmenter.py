@@ -188,9 +188,9 @@ class MaskRCNNSegmenter:
         self._paste_jit = jax.jit(jax.vmap(paste_one))
         return seg_program
 
-    def batch_device(self, rgbs_u8: np.ndarray, goal_cats):
-        """(B, eh, ew, 3) uint8 RGB -> device (B, n_sem, fh, fw) f32 sem
-        stack.  B must be a multiple of the chunk size (callers pad)."""
+    def batch_device(self, rgbs_u8, goal_cats):
+        """(B, eh, ew, 3) uint8 RGB (numpy, or an already-staged device
+        array) -> device (B, n_sem, fh, fw) f32 sem stack."""
         import jax.numpy as jnp
 
         if self._seg_program is None:
@@ -198,7 +198,8 @@ class MaskRCNNSegmenter:
         b = rgbs_u8.shape[0]
         pad = (-b) % self.chunk
         if pad:
-            rgbs_u8 = np.pad(rgbs_u8, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            mod = np if isinstance(rgbs_u8, np.ndarray) else jnp
+            rgbs_u8 = mod.pad(rgbs_u8, ((0, pad), (0, 0), (0, 0), (0, 0)))
             goal_cats = np.pad(np.asarray(goal_cats, np.int32), (0, pad))
         out = self._seg_program(self.variables, jnp.asarray(rgbs_u8),
                                 jnp.asarray(np.asarray(goal_cats, np.int32)))
