@@ -110,7 +110,8 @@ def model_convert(args):
         sd = load_torch_state_dict(args.src)
         fn = {"vit": zoo_import.convert_timm_vit,
               "mit": zoo_import.convert_official_mit,
-              "swin": zoo_import.convert_official_swin}[kind]
+              "swin": zoo_import.convert_official_swin,
+              "convnext": zoo_import.convert_mmcls_convnext}[kind]
         variables, leftovers = fn(sd)
     n_params = len(jax_tree_leaves(variables))
     save_checkpoint(args.out, variables)
@@ -132,7 +133,7 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     m = sub.add_parser("model")
-    m.add_argument("kind", choices=["vit", "mit", "swin", "vitjax"])
+    m.add_argument("kind", choices=["vit", "mit", "swin", "vitjax", "convnext"])
     m.add_argument("src")
     m.add_argument("out")
     m.set_defaults(fn=model_convert)

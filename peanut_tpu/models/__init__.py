@@ -24,6 +24,7 @@ from . import unet  # noqa: F401
 from . import hrnet  # noqa: F401
 from . import vit  # noqa: F401
 from . import backbones_zoo  # noqa: F401
+from . import convnext  # noqa: F401
 from . import knet  # noqa: F401
 from . import timm_adapter  # noqa: F401
 from .builder import build_segmentor, init_segmentor_params

@@ -253,3 +253,61 @@ def convert_official_swin(sd: Dict[str, np.ndarray]
     leftovers = [k for k in sd if k not in handled
                  and not k.startswith("head")]
     return {"params": params}, leftovers
+
+
+def convert_mmcls_convnext(sd: Dict[str, np.ndarray]
+                           ) -> Tuple[Dict[str, Any], List[str]]:
+    """mmcls ConvNeXt state dict (the reference configs' pretrained source,
+    names ``backbone.downsample_layers.i.{0,1}``, ``backbone.stages.i.j.*``)
+    -> models/convnext.py ConvNeXt.  Accepts keys with or without the
+    ``backbone.`` prefix."""
+    params: Dict[str, Any] = {}
+    handled = set()
+    sd = {k[len("backbone."):] if k.startswith("backbone.") else k: v
+          for k, v in sd.items()}
+
+    def ln(tkey, fpath):
+        _set(params, fpath + ("scale",), sd[f"{tkey}.weight"])
+        _set(params, fpath + ("bias",), sd[f"{tkey}.bias"])
+        handled.update({f"{tkey}.weight", f"{tkey}.bias"})
+
+    for i in range(4):
+        t = f"downsample_layers.{i}"
+        # layer 0 = [conv, LN]; layers 1-3 = [LN, conv]
+        conv_idx, norm_idx = (0, 1) if i == 0 else (1, 0)
+        if f"{t}.{conv_idx}.weight" not in sd:
+            continue
+        _set(params, (f"downsample{i}_conv", "conv", "kernel"),
+             sd[f"{t}.{conv_idx}.weight"].transpose(_CONV_T))
+        _set(params, (f"downsample{i}_conv", "conv", "bias"),
+             sd[f"{t}.{conv_idx}.bias"])
+        handled.update({f"{t}.{conv_idx}.weight", f"{t}.{conv_idx}.bias"})
+        ln(f"{t}.{norm_idx}", (f"downsample{i}_norm",))
+
+        blk = re.compile(rf"stages\.{i}\.(\d+)\.")
+        n_blocks = 1 + max((int(m.group(1)) for k in sd
+                            if (m := blk.match(k))), default=-1)
+        for j in range(n_blocks):
+            t2 = f"stages.{i}.{j}"
+            f = (f"stage{i}_block{j}",)
+            # mmcls depthwise conv weight (C, 1, 7, 7)
+            _set(params, f + ("depthwise_conv", "kernel"),
+                 sd[f"{t2}.depthwise_conv.weight"].transpose(_CONV_T))
+            _set(params, f + ("depthwise_conv", "bias"),
+                 sd[f"{t2}.depthwise_conv.bias"])
+            handled.update({f"{t2}.depthwise_conv.weight",
+                            f"{t2}.depthwise_conv.bias"})
+            ln(f"{t2}.norm", f + ("norm",))
+            _dense(params, sd, f"{t2}.pointwise_conv1",
+                   f + ("pointwise_conv1",), handled)
+            _dense(params, sd, f"{t2}.pointwise_conv2",
+                   f + ("pointwise_conv2",), handled)
+            if f"{t2}.gamma" in sd:
+                _set(params, f + ("gamma",), sd[f"{t2}.gamma"])
+                handled.add(f"{t2}.gamma")
+        if f"norm{i}.weight" in sd:
+            ln(f"norm{i}", (f"out_norm{i}",))
+
+    leftovers = [k for k in sd if k not in handled
+                 and not k.startswith("head")]
+    return {"params": params}, leftovers

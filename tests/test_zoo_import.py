@@ -224,3 +224,61 @@ def test_dataset_remap_cli(tmp_path, rng):
                       "--table", str(tp)])
     out = cv2.imread(str(dst / "a.png"), cv2.IMREAD_UNCHANGED)
     np.testing.assert_array_equal(out, ann + 10)
+
+
+def convnext_tiny_manifest():
+    """mmcls ConvNeXt-tiny key set (reference configs' pretrained format)."""
+    depths, dims = (3, 3, 9, 3), (96, 192, 384, 768)
+    sd = {}
+    in_c = 3
+    for i, (nd, d) in enumerate(zip(depths, dims)):
+        t = f"backbone.downsample_layers.{i}"
+        k = 4 if i == 0 else 2
+        conv_idx, norm_idx = (0, 1) if i == 0 else (1, 0)
+        sd[f"{t}.{conv_idx}.weight"] = (d, in_c, k, k)
+        sd[f"{t}.{conv_idx}.bias"] = (d,)
+        sd[f"{t}.{norm_idx}.weight"] = (in_c if i else d,) if i else (d,)
+        sd[f"{t}.{norm_idx}.bias"] = sd[f"{t}.{norm_idx}.weight"]
+        for j in range(nd):
+            t2 = f"backbone.stages.{i}.{j}"
+            sd[f"{t2}.depthwise_conv.weight"] = (d, 1, 7, 7)
+            sd[f"{t2}.depthwise_conv.bias"] = (d,)
+            sd[f"{t2}.norm.weight"] = (d,)
+            sd[f"{t2}.norm.bias"] = (d,)
+            sd[f"{t2}.pointwise_conv1.weight"] = (4 * d, d)
+            sd[f"{t2}.pointwise_conv1.bias"] = (4 * d,)
+            sd[f"{t2}.pointwise_conv2.weight"] = (d, 4 * d)
+            sd[f"{t2}.pointwise_conv2.bias"] = (d,)
+            sd[f"{t2}.gamma"] = (d,)
+        sd[f"backbone.norm{i}.weight"] = (d,)
+        sd[f"backbone.norm{i}.bias"] = (d,)
+        in_c = d
+    return sd
+
+
+@pytest.mark.slow
+def test_mmcls_convnext_converter(rng):
+    from peanut_tpu.models.convnext import ConvNeXt
+    from peanut_tpu.models.zoo_import import convert_mmcls_convnext
+
+    manifest = convnext_tiny_manifest()
+    sd = {k: rng.randn(*s).astype(np.float32) * 0.05
+          for k, s in manifest.items()}
+    converted, leftovers = convert_mmcls_convnext(sd)
+    assert not leftovers, leftovers[:8]
+
+    model = ConvNeXt(arch="tiny")
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 64, 64, 3), jnp.float32))
+    _assert_same(converted["params"], init["params"])
+
+
+def test_convnext_forward_shapes(rng):
+    from peanut_tpu.models.convnext import ConvNeXt
+
+    model = ConvNeXt(arch="tiny")
+    x = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(params, x)
+    assert [o.shape for o in outs] == [
+        (1, 16, 24, 96), (1, 8, 12, 192), (1, 4, 6, 384), (1, 2, 3, 768)]
