@@ -59,7 +59,8 @@ def bench_prednet():
     from peanut_tpu.models.builder import peanut_prediction_config
 
     size = 720
-    batch = 4
+    batch = 16   # matches the 16-episode serving batch; dispatch+RTT
+                 # overhead dominates below batch ~8 through the tunnel
     model = build_segmentor(peanut_prediction_config())
     variables = init_segmentor_params(model, (1, size, size, 14))
 
