@@ -67,25 +67,50 @@ def pairwise_iou(a, b):
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-def nms_fixed(boxes, scores, iou_threshold: float):
+def nms_fixed(boxes, scores, iou_threshold: float, block: int = 64):
     """Greedy NMS with static shapes.
 
     Returns scores with suppressed entries set to -inf (same order as the
-    inputs).  Sequential over the score-sorted list via fori_loop; the IoU
-    matrix is computed once (N^2, VPU-friendly).
+    inputs).  Exact greedy semantics, computed block-wise: the score-sorted
+    list is cut into blocks; each block's internal suppression unrolls as
+    ``block`` straight-line vector ops (no per-element loop overhead), and
+    cross-block suppression is one masked matrix reduction per block.  The
+    keep set is identical to the element-sequential greedy pass.
     """
     n = boxes.shape[0]
     order = jnp.argsort(-scores)
     b = boxes[order]
     valid = jnp.isfinite(scores[order])
-    iou = pairwise_iou(b, b)
-    idx = jnp.arange(n)
+    pad = (-n) % block
+    if pad:
+        b = jnp.pad(b, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    np_ = n + pad
+    nb = np_ // block
+    iou = pairwise_iou(b, b)                        # (np, np)
+    sup_mat = iou > iou_threshold
 
-    def body(i, keep):
-        sup = (iou[i] > iou_threshold) & (idx > i) & keep[i]
-        return keep & jnp.logical_not(sup)
+    def do_block(k, keep):
+        # cross-block: kept boxes from earlier blocks suppress this block
+        row0 = k * block
+        blk_rows = jax.lax.dynamic_slice(sup_mat, (row0, 0), (block, np_))
+        earlier = jnp.arange(np_) < row0
+        kept_earlier = keep & earlier
+        # (block,) — suppressed by any kept earlier box
+        sup_by_prev = jnp.einsum("bn,n->b", blk_rows.astype(jnp.float32),
+                                 kept_earlier.astype(jnp.float32)) > 0
+        blk_keep = jax.lax.dynamic_slice(keep, (row0,), (block,)) \
+            & jnp.logical_not(sup_by_prev)
+        # in-block greedy, unrolled straight-line
+        blk_local = jax.lax.dynamic_slice(blk_rows, (0, row0),
+                                          (block, block))
+        in_idx = jnp.arange(block)
+        for i in range(block):
+            sup = blk_local[i] & (in_idx > i) & blk_keep[i]
+            blk_keep = blk_keep & jnp.logical_not(sup)
+        return jax.lax.dynamic_update_slice(keep, blk_keep, (row0,))
 
-    keep_sorted = jax.lax.fori_loop(0, n, body, valid)
+    keep_sorted = jax.lax.fori_loop(0, nb, do_block, valid)[:n]
     keep = jnp.zeros(n, bool).at[order].set(keep_sorted)
     return jnp.where(keep, scores, -jnp.inf)
 
