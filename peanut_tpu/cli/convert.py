@@ -79,6 +79,34 @@ def dataset_voc_aug(args):
     print(f"converted {len(mats)} SBD annotations -> {out}")
 
 
+def dataset_binarize(args):
+    """Retina-vessel datasets (CHASE_DB1 / DRIVE / HRF / STARE converters):
+    threshold annotation images to {0 background, 1 vessel} pngs."""
+    import cv2
+
+    files = sorted(
+        f for ext in ("png", "jpg", "tif", "gif", "ppm", "bmp")
+        for f in glob.glob(os.path.join(args.in_dir, "**", f"*.{ext}"),
+                           recursive=True))
+    os.makedirs(args.out_dir, exist_ok=True)
+    n = 0
+    for f in files:
+        img = cv2.imread(f, cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            try:  # gif annotations (DRIVE) need PIL
+                from PIL import Image
+
+                img = np.array(Image.open(f).convert("L"))
+            except Exception:
+                print(f"skipped unreadable {f}")
+                continue
+        name = os.path.splitext(os.path.basename(f))[0]
+        out = (img >= args.threshold).astype(np.uint8)
+        cv2.imwrite(os.path.join(args.out_dir, name + ".png"), out)
+        n += 1
+    print(f"binarized {n} annotation maps -> {args.out_dir}")
+
+
 def dataset_remap(args):
     """Generic label remap over a directory tree (covers the coco_stuff /
     potsdam / vaihingen / loveda style converters: each is a fixed id
@@ -150,6 +178,12 @@ def main(argv=None):
     va.add_argument("sbd")
     va.add_argument("out")
     va.set_defaults(fn=dataset_voc_aug)
+
+    bz = dsub.add_parser("binarize")
+    bz.add_argument("in_dir")
+    bz.add_argument("out_dir")
+    bz.add_argument("--threshold", type=int, default=128)
+    bz.set_defaults(fn=dataset_binarize)
 
     rm = dsub.add_parser("remap")
     rm.add_argument("in_dir")

@@ -76,3 +76,37 @@ def test_batch_runner_lifecycle():
     assert summary["env_steps"] == 20 * 4
     assert summary["episodes"] >= 4          # 15-step episodes must recycle
     assert summary["env_steps_per_sec"] > 0
+
+
+@pytest.mark.slow
+def test_mesh_sharded_runtime_matches_unsharded():
+    """Episodes sharded over the 8-device CPU mesh must produce the exact
+    action sequences of the unsharded runtime (SPMD is an implementation
+    detail; behaviour is device-layout-invariant).  This is the test-suite
+    twin of __graft_entry__.dryrun_multichip's nav tick."""
+    import jax
+    from peanut_tpu.core.mesh import make_mesh
+
+    cfg = small_cfg()
+    n = 8
+    steps = 10
+    pm = tiny_prediction_model(cfg)
+
+    def rollout(mesh):
+        runtime = BatchedNavRuntime(cfg, n, prediction_model=pm, mesh=mesh)
+        envs = [FakeNavEnv(cfg, size_m=12.0, seed=100 + i,
+                           max_steps=steps + 5) for i in range(n)]
+        obs = [e.reset() for e in envs]
+        for i in range(n):
+            runtime.reset_env(i)
+        actions = []
+        for _ in range(steps):
+            acts = runtime.act_batch(obs)
+            actions.append([a["action"] for a in acts])
+            obs = [envs[i].step(acts[i]) for i in range(n)]
+        return actions
+
+    plain = rollout(None)
+    mesh = make_mesh({"data": len(jax.devices())})
+    sharded = rollout(mesh)
+    assert plain == sharded

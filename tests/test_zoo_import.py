@@ -282,3 +282,17 @@ def test_convnext_forward_shapes(rng):
     outs = model.apply(params, x)
     assert [o.shape for o in outs] == [
         (1, 16, 24, 96), (1, 8, 12, 192), (1, 4, 6, 384), (1, 2, 3, 768)]
+
+
+def test_dataset_binarize_cli(tmp_path, rng):
+    import cv2
+    from peanut_tpu.cli import convert as convert_cli
+
+    src = tmp_path / "ann"
+    dst = tmp_path / "out"
+    src.mkdir()
+    ann = (rng.rand(20, 20) * 255).astype(np.uint8)
+    cv2.imwrite(str(src / "v.png"), ann)
+    convert_cli.main(["dataset", "binarize", str(src), str(dst)])
+    out = cv2.imread(str(dst / "v.png"), cv2.IMREAD_UNCHANGED)
+    np.testing.assert_array_equal(out, (ann >= 128).astype(np.uint8))
