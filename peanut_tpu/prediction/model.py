@@ -73,3 +73,24 @@ class PredictionModel:
     def get_prediction_batch(self, full_maps) -> np.ndarray:
         """(B, C, H, W) -> (B, 6, H, W), one device call for all episodes."""
         return np.asarray(self._infer(self.variables, jnp.asarray(full_maps)))
+
+    def get_prediction_sharded(self, full_map: np.ndarray, mesh,
+                               axis: str = "spatial") -> np.ndarray:
+        """Whole-map inference with the HEIGHT dimension sharded over a
+        mesh axis (the reference's slide_inference analog scaled out:
+        SURVEY.md §5.7 — spatial sharding of the 960^2 map conv with
+        halo exchange over ICI).
+
+        Idiomatic form: annotate the input sharding and let GSPMD insert
+        the conv halo exchanges — no hand-written collectives.  Numerically
+        identical to the unsharded forward (tests/test_training.py twin in
+        tests/test_spatial_inference.py).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x = jnp.asarray(full_map)[None]                 # (1, C, H, W)
+        sh = NamedSharding(mesh, P(None, None, axis, None))
+        x = jax.device_put(x, sh)
+        with mesh:
+            probs = self._infer(self.variables, x)
+        return np.asarray(probs[0])
