@@ -72,13 +72,11 @@ def main():
     # warmup (compile all tick programs)
     runner.reset_all()
     for _ in range(3):
-        acts = runner.runtime.act_batch(runner.obs)
-        runner.obs = [runner.envs[i].step(acts[i]) for i in range(ns.envs)]
+        runner.tick()
 
     t0 = time.perf_counter()
     for _ in range(ns.ticks):
-        acts = runner.runtime.act_batch(runner.obs)
-        runner.obs = [runner.envs[i].step(acts[i]) for i in range(ns.envs)]
+        runner.tick()
     dt = time.perf_counter() - t0
 
     import os as _os
