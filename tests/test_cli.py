@@ -57,3 +57,57 @@ def test_benchmark_cli(capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(out)
     assert rec["maps_per_sec"] > 0
+
+
+def test_serve_http_roundtrip(tmp_path):
+    """cli/serve.py (torchserve counterpart): ping + predictions + probs
+    endpoints over a tiny segmentor, exercised through real HTTP."""
+    import io
+    import json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from peanut_tpu.apis import init_segmentor
+    from peanut_tpu.cli.serve import make_handler
+
+    cfg = dict(
+        type="EncoderDecoder",
+        backbone=dict(type="ResNetV1c", depth=50, num_stages=4,
+                      out_indices=(0, 1, 2, 3), dilations=(1, 1, 2, 4),
+                      strides=(1, 2, 1, 1), contract_dilation=True,
+                      base_channels=8, stem_channels=8, in_channels=3),
+        decode_head=dict(type="PSPHead", in_channels=256, in_index=3,
+                         channels=64, pool_scales=(1, 2, 3, 6),
+                         dropout_ratio=0.1, num_classes=4,
+                         align_corners=False),
+        test_cfg=dict(mode="whole"),
+    )
+    bundle = init_segmentor(cfg)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(bundle))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/ping", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "Healthy"
+
+        img = (np.random.RandomState(0).rand(32, 48, 3) * 255).astype(
+            np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, img)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predictions/seg", data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = json.loads(r.read())
+        assert out["shape"] == [32, 48]
+        assert len(out["classes"]) == 32
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/probs", data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=300) as r:
+            probs = np.load(io.BytesIO(r.read()))
+        assert probs.shape == (4, 32, 48)
+    finally:
+        server.shutdown()
