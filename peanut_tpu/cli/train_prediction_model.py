@@ -38,6 +38,10 @@ def main(argv=None):
     parser.add_argument("--config", type=str, default=None,
                         help="optional model config file (defaults to the "
                              "PEANUT prediction config)")
+    parser.add_argument("--remat", type=int, default=1,
+                        help="rematerialize backbone blocks in backward "
+                             "(needed for the batch-8 crop-960 recipe on "
+                             "a 16 GB chip; ~1.3x step FLOPs)")
     parser.add_argument("--distributed", type=int, default=0,
                         help="initialize jax.distributed (multi-host; "
                              "coordinator from JAX_COORDINATOR_ADDRESS / "
@@ -89,7 +93,7 @@ def main(argv=None):
         model_cfg = model_cfg.get("model", model_cfg)
         in_ch = model_cfg.get("backbone", {}).get("in_channels", 14)
     else:
-        model_cfg = peanut_prediction_config()
+        model_cfg = peanut_prediction_config(remat=bool(ns.remat))
         in_ch = 14
     model = build_segmentor(model_cfg)
     variables = init_segmentor_params(

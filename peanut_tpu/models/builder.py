@@ -41,9 +41,12 @@ def init_segmentor_params(model, input_shape: Tuple[int, ...],
         return fn(rng, dummy)
 
 
-def peanut_prediction_config(in_channels: int = 14, num_classes: int = 6
-                             ) -> Dict[str, Any]:
-    """The PEANUT target-prediction model config (nav/pred_model_cfg.py:2-42)."""
+def peanut_prediction_config(in_channels: int = 14, num_classes: int = 6,
+                             remat: bool = False) -> Dict[str, Any]:
+    """The PEANUT target-prediction model config (nav/pred_model_cfg.py:2-42).
+
+    ``remat=True`` rematerializes backbone blocks in backward — required to
+    train the reference recipe (batch 8, crop 960) within one chip's HBM."""
     return dict(
         type="EncoderDecoder",
         backbone=dict(
@@ -55,6 +58,7 @@ def peanut_prediction_config(in_channels: int = 14, num_classes: int = 6
             strides=(1, 2, 1, 1),
             contract_dilation=True,
             in_channels=in_channels,
+            remat=remat,
         ),
         decode_head=dict(
             type="PSPHead",

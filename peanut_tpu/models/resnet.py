@@ -109,6 +109,11 @@ class ResNet(nn.Module):
     groups: int = 1              # ResNeXt cardinality
     base_width: int = 4          # ResNeXt width per group
     pretrained: str | None = None  # accepted for config parity; unused
+    remat: bool = False          # rematerialize each residual block in
+                                 # backward (jax.checkpoint): ~1.3x FLOPs
+                                 # for stage-boundary-only activation
+                                 # memory — the 960^2 training recipe needs
+                                 # this on a 16 GB chip
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -147,13 +152,17 @@ class ResNet(nn.Module):
                     d = dilation
                 extra = (dict(groups=self.groups, base_width=self.base_width)
                          if block_cls is Bottleneck else {})
-                x = block_cls(
+                cls = nn.remat(block_cls, static_argnums=(2,)) \
+                    if self.remat else block_cls
+                block = cls(
                     planes=planes,
                     stride=stride if first else 1,
                     dilation=d if first else dilation,
                     downsample=needs_down,
                     style=self.style,
-                    name=f"layer{i + 1}_{j}", **extra)(x, train=train)
+                    name=f"layer{i + 1}_{j}", **extra)
+                x = block(x, train) if self.remat \
+                    else block(x, train=train)
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)

@@ -151,3 +151,45 @@ def test_dp_sharded_step_matches_single(tmp_path):
 
     np.testing.assert_allclose(float(m_plain["loss"]),
                                float(m_shard["loss"]), rtol=1e-5)
+
+
+def test_remat_model_matches_plain():
+    """remat=True must be numerically identical (same params, same loss,
+    same grads) — it only changes what backward stores."""
+    import optax
+    from peanut_tpu.models import build_segmentor, init_segmentor_params
+
+    def small(remat):
+        return dict(
+            type="EncoderDecoder",
+            backbone=dict(type="ResNetV1c", depth=50, num_stages=4,
+                          out_indices=(0, 1, 2, 3), dilations=(1, 1, 2, 4),
+                          strides=(1, 2, 1, 1), contract_dilation=True,
+                          base_channels=8, stem_channels=8, in_channels=14,
+                          remat=remat),
+            decode_head=dict(type="PSPHead", in_channels=256, in_index=3,
+                             channels=64, pool_scales=(1, 2, 3, 6),
+                             dropout_ratio=0.0, num_classes=6,
+                             align_corners=False),
+            test_cfg=dict(mode="whole"),
+        )
+
+    m0 = build_segmentor(small(False))
+    m1 = build_segmentor(small(True))
+    v = init_segmentor_params(m0, (1, 64, 64, 14), train=True)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 14),
+                    jnp.float32)
+
+    def loss(model, params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)})
+        logits = out[0] if isinstance(out, tuple) else out
+        return jnp.mean(jnp.abs(logits))
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(v["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(v["params"])
+    assert np.isclose(float(l0), float(l1), atol=1e-6)
+    diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
