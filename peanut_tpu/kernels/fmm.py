@@ -211,41 +211,6 @@ def _pick_dir(n1, n2, p1, p2):
     return jnp.where(use_n, n1, p1), jnp.where(use_n, n2, p2)
 
 
-def _order2_pass(d, wall, src):
-    """One full-grid second-order Gauss-Jacobi ASSIGNMENT pass.
-
-    Unlike the first-order stage this does not min-update: the high-order
-    stencil is not monotone, so values must be allowed to rise back while
-    the refinement converges (standard high-order fast sweeping, cf. Zhang
-    & Zhao).  Sources stay pinned at 0 and walls at BIG.
-    """
-    nd = d.ndim
-
-    def shift(arr, axis, off):
-        """Value of the neighbour ``off`` cells earlier along ``axis``
-        (off>0 looks up/left, off<0 down/right); BIG past the border."""
-        pad = [(0, 0)] * nd
-        idx = [slice(None)] * nd
-        if off > 0:
-            pad[axis] = (off, 0)
-            idx[axis] = slice(0, -off)
-        else:
-            pad[axis] = (0, -off)
-            idx[axis] = slice(-off, None)
-        return jnp.pad(arr[tuple(idx)], pad, constant_values=BIG)
-
-    va, ha = nd - 2, nd - 1
-    up1, up2 = shift(d, va, 1), shift(d, va, 2)
-    dn1, dn2 = shift(d, va, -1), shift(d, va, -2)
-    lf1, lf2 = shift(d, ha, 1), shift(d, ha, 2)
-    rt1, rt2 = shift(d, ha, -1), shift(d, ha, -2)
-    u1y, u2y = _pick_dir(up1, up2, dn1, dn2)
-    u1x, u2x = _pick_dir(lf1, lf2, rt1, rt2)
-    cand = _godunov2(u1x, u2x, u1y, u2y)
-    out = jnp.where(src, 0.0, cand)
-    return jnp.where(wall, BIG, out)
-
-
 def _order2_block(blk, wall, src, top2, bottom2, inner: int):
     """Relax a row block with second-order assignment updates.
 
