@@ -111,90 +111,113 @@ class MaskRCNN(nn.Module):
         self.mask_head = MaskHead(self.num_classes, name="mask_head")
 
     # ------------------------------------------------------------------
-    def features(self, image):
-        """image: (H, W, 3) float32, BGR minus pixel mean, padded /32."""
-        feats = self.backbone(image[None], train=False)
-        return self.fpn(feats)  # p2..p6, batch dim 1
+    # The whole pipeline is natively batched over images: the backbone and
+    # heads see a real batch dim (straight to batched convs/matmuls on the
+    # MXU), ROIAlign pools all B*N ROIs from ONE stacked buffer, and only
+    # the per-image NMS selections run under vmap.  Wrapping detect() in an
+    # outer vmap instead would flatten ROIAlign's overflow lax.cond into
+    # always-executed selects (see roi_align.py) — don't.
+    # ------------------------------------------------------------------
+    def features(self, images):
+        """images: (B, H, W, 3) float32, BGR minus pixel mean, padded /32."""
+        feats = self.backbone(images, train=False)
+        return self.fpn(feats)  # p2..p6, each (B, H_l, W_l, C)
 
     def proposals(self, pyramid, img_h: int, img_w: int):
         """RPN: per-level topk -> deltas -> clip -> NMS -> global topk."""
         rpn_outs = self.rpn_head(pyramid)
+        bsz = pyramid[0].shape[0]
         all_boxes, all_scores = [], []
         for lvl, (obj, delt) in enumerate(rpn_outs):
             stride = FPN_STRIDES[lvl]
             cell = generate_cell_anchors(ANCHOR_SIZES[lvl], ASPECT_RATIOS)
             h, w = obj.shape[1], obj.shape[2]
             anchors = jnp.asarray(anchors_for_level(h, w, stride, cell))
-            scores = obj.reshape(-1)                        # (H*W*A,)
-            deltas = delt.reshape(h * w, len(ASPECT_RATIOS), 4)
-            deltas = deltas.reshape(-1, 4)
-            k = min(RPN_PRE_NMS_TOPK, scores.shape[0])
-            top_scores, idx = jax.lax.top_k(scores, k)
-            boxes = apply_deltas(deltas[idx], anchors[idx])
+            scores = obj.reshape(bsz, -1)                   # (B, H*W*A)
+            deltas = delt.reshape(bsz, -1, 4)               # (h, w, A) order
+            k = min(RPN_PRE_NMS_TOPK, scores.shape[1])
+            top_scores, idx = jax.lax.top_k(scores, k)      # (B, k)
+            boxes = apply_deltas(
+                jnp.take_along_axis(deltas, idx[..., None], axis=1),
+                anchors[idx])
             boxes = clip_boxes(boxes, img_h, img_w)
-            kept_scores = nms_fixed(boxes, top_scores, RPN_NMS_THRESH)
+            kept_scores = jax.vmap(
+                lambda b, s: nms_fixed(b, s, RPN_NMS_THRESH))(
+                boxes, top_scores)
             if k < RPN_PRE_NMS_TOPK:
                 pad = RPN_PRE_NMS_TOPK - k
-                boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
-                kept_scores = jnp.pad(kept_scores, (0, pad),
+                boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
+                kept_scores = jnp.pad(kept_scores, ((0, 0), (0, pad)),
                                       constant_values=-jnp.inf)
             all_boxes.append(boxes)
             all_scores.append(kept_scores)
-        boxes = jnp.concatenate(all_boxes)
-        scores = jnp.concatenate(all_scores)
+        boxes = jnp.concatenate(all_boxes, axis=1)
+        scores = jnp.concatenate(all_scores, axis=1)
         top_scores, idx = jax.lax.top_k(scores, RPN_POST_NMS_TOPK)
-        return boxes[idx], top_scores
+        return jnp.take_along_axis(boxes, idx[..., None], axis=1), top_scores
 
     def box_inference(self, pyramid, proposals, prop_scores,
                       img_h: int, img_w: int):
-        """ROI box head + per-class NMS -> fixed 100 detections."""
-        feats = [p[0] for p in pyramid[:4]]               # p2..p5
+        """ROI box head + per-class NMS -> fixed 100 detections/image."""
+        bsz, n = proposals.shape[:2]
+        feats = pyramid[:4]                               # p2..p5, batched
         pooled = multilevel_roi_align(feats, proposals, FPN_STRIDES[:4], 7)
-        x = self.box_head(pooled)
+        x = self.box_head(pooled.reshape((bsz * n,) + pooled.shape[2:]))
         scores, deltas = self.box_predictor(x)
         probs = jax.nn.softmax(scores, axis=-1)[:, :self.num_classes]
+        probs = probs.reshape(bsz, n, self.num_classes)
         # invalidate padded proposals
         valid = jnp.isfinite(prop_scores)
-        probs = jnp.where(valid[:, None], probs, 0.0)
+        probs = jnp.where(valid[..., None], probs, 0.0)
 
-        n = proposals.shape[0]
-        deltas = deltas.reshape(n, self.num_classes, 4)
+        deltas = deltas.reshape(bsz, n, self.num_classes, 4)
         boxes_per_class = apply_deltas(
-            deltas, proposals[:, None, :], weights=BOX_REG_WEIGHTS)
+            deltas, proposals[:, :, None, :], weights=BOX_REG_WEIGHTS)
         boxes_per_class = clip_boxes(boxes_per_class, img_h, img_w)
 
-        flat_scores = probs.reshape(-1)                   # (N*C,)
+        flat_scores = probs.reshape(bsz, -1)              # (B, N*C)
         flat_scores = jnp.where(flat_scores > self.score_thresh,
                                 flat_scores, -jnp.inf)
-        flat_boxes = boxes_per_class.reshape(-1, 4)
+        flat_boxes = boxes_per_class.reshape(bsz, -1, 4)
         flat_cls = jnp.tile(jnp.arange(self.num_classes), n)
 
-        k = min(RPN_POST_NMS_TOPK, flat_scores.shape[0])
+        k = min(RPN_POST_NMS_TOPK, flat_scores.shape[1])
         cand_scores, idx = jax.lax.top_k(flat_scores, k)
-        cand_boxes = flat_boxes[idx]
+        cand_boxes = jnp.take_along_axis(flat_boxes, idx[..., None], axis=1)
         cand_cls = flat_cls[idx]
-        kept = batched_nms(cand_boxes, cand_scores, cand_cls, ROI_NMS_THRESH)
+        kept = jax.vmap(
+            lambda b, s, c_: batched_nms(b, s, c_, ROI_NMS_THRESH))(
+            cand_boxes, cand_scores, cand_cls)
         det_scores, didx = jax.lax.top_k(kept, DETECTIONS_PER_IMAGE)
-        return cand_boxes[didx], det_scores, cand_cls[didx]
+        return (jnp.take_along_axis(cand_boxes, didx[..., None], axis=1),
+                det_scores,
+                jnp.take_along_axis(cand_cls, didx, axis=1))
 
     def mask_inference(self, pyramid, det_boxes, det_classes):
-        feats = [p[0] for p in pyramid[:4]]
+        bsz, n = det_boxes.shape[:2]
+        feats = pyramid[:4]
         pooled = multilevel_roi_align(feats, det_boxes, FPN_STRIDES[:4], 14)
-        logits = self.mask_head(pooled)                   # (N, 28, 28, C)
+        logits = self.mask_head(pooled.reshape((bsz * n,) + pooled.shape[2:]))
+        logits = logits.reshape((bsz, n) + logits.shape[1:])
         sel = jnp.take_along_axis(
-            logits, det_classes[:, None, None, None], axis=-1)[..., 0]
-        return jax.nn.sigmoid(sel)                        # (N, 28, 28)
+            logits, det_classes[:, :, None, None, None], axis=-1)[..., 0]
+        return jax.nn.sigmoid(sel)                        # (B, N, 28, 28)
 
-    def detect(self, image) -> Dict[str, jnp.ndarray]:
-        """Full static pipeline on a preprocessed (H, W, 3) image."""
-        img_h, img_w = image.shape[0], image.shape[1]
-        pyramid = self.features(image)
+    def detect_batch(self, images) -> Dict[str, jnp.ndarray]:
+        """Full static pipeline on preprocessed (B, H, W, 3) images."""
+        img_h, img_w = images.shape[1], images.shape[2]
+        pyramid = self.features(images)
         proposals, prop_scores = self.proposals(pyramid, img_h, img_w)
         boxes, scores, classes = self.box_inference(
             pyramid, proposals, prop_scores, img_h, img_w)
         masks = self.mask_inference(pyramid, boxes, classes)
         return {"boxes": boxes, "scores": scores,
                 "classes": classes, "masks": masks}
+
+    def detect(self, image) -> Dict[str, jnp.ndarray]:
+        """Single preprocessed (H, W, 3) image convenience wrapper."""
+        out = self.detect_batch(image[None])
+        return {k: v[0] for k, v in out.items()}
 
     def __call__(self, image):
         return self.detect(image)

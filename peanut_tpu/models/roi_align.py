@@ -1,21 +1,40 @@
 """Multi-level ROIAlign on TPU.
 
 Replaces detectron2's CUDA ROIAlignV2 (aligned=True).  TPU-first design: the
-FPN levels are padded to a common width and concatenated along H into ONE
-buffer, each ROI's sample coordinates get a per-level row offset, and the
-whole pooling becomes a single batched bilinear gather — no per-level
-dynamic partitioning, fully static shapes.
+FPN levels — and, in the batched form, the whole image batch — are padded to
+a common width and concatenated along H into ONE buffer, each ROI's sample
+coordinates get a per-(image, level) row offset, and the whole pooling
+becomes batched separable matrix contractions on the MXU — no per-level
+dynamic partitioning, fully static shapes.  Serving calls the batched form
+directly (NOT through ``vmap``): control flow below stays real branching,
+which ``vmap`` would flatten into always-execute ``select``s.
 
 Sampling implements detectron2's adaptive ratio-0 grid (the default at the
 reference's serving path, nav/agent/utils/segmentation.py:38 via
 DefaultPredictor): per ROI, ``g = ceil(roi_size_px / pooled_size)`` samples
 per bin per axis.  Static shapes are preserved by always generating ``gmax``
 sample slots per bin — ``gmax`` is a *compile-time* bound derived from the
-coarsest level's extent — and masking slots ``j >= g`` out of the average.
-Positions of the live slots are the exact d2 ones, ``(j + 0.5) / g`` bin
-fractions with per-ROI ``g``, so results match the CUDA kernel bit-for-bit
-up to float summation order.  A fixed grid (``sampling_ratio > 0``) is kept
-as an option.
+finest level's extent (the largest per-axis span any assigned ROI can have)
+— and masking slots ``j >= g`` out of the average.  Positions of the live
+slots are the exact d2 ones, ``(j + 0.5) / g`` bin fractions with per-ROI
+``g``, so results match the CUDA kernel up to float summation order.  A
+fixed grid (``sampling_ratio > 0``) is kept as an option.
+
+Window exactness: pooling contracts a per-ROI feature *window* with
+separable bilinear hat matrices.  A square window sized to the coarsest
+level cannot cover elongated ROIs on fine levels (d2 assigns by
+sqrt(area), so a 200x60 px box lands on level 0 and spans 50 cells there).
+The fix exploits the assignment rule itself: a box on non-coarsest level
+``l`` has sqrt(area_px) < canonical * 2^(l - canonical_level + 1), hence its
+*cell* area is bounded by AREA_BOUND = (canonical / 2^(canonical_level-1))^2
+= 784 cells for the standard (224, 4) parameters.  Therefore a ROI can
+overflow the square window on at most ONE axis, and on that ROI the other
+axis is provably thin (< AREA_BOUND / (win-3) cells).  Three static window
+shapes cover every ROI exactly: square (common case), thin-rows x
+full-width (x-elongated), and full-height x thin-cols (y-elongated).  The
+overflow pass is guarded by a per-chunk ``lax.cond`` and ROIs are sorted so
+overflowing ones cluster in the tail chunks — chunks of ordinary ROIs pay
+only the square pass.
 """
 
 from __future__ import annotations
@@ -39,16 +58,42 @@ def assign_fpn_levels(boxes, k_min: int = 2, k_max: int = 5,
 
 def stack_pyramid(feats: Sequence[jnp.ndarray]
                   ) -> Tuple[jnp.ndarray, np.ndarray, np.ndarray]:
-    """Concatenate (H_l, W_l, C) levels along H with right zero padding.
+    """Concatenate levels along H with right zero padding to a common W.
 
-    Returns (stacked (sumH, maxW, C), row_offsets (L,), widths (L,))."""
-    max_w = max(f.shape[1] for f in feats)
-    padded = [jnp.pad(f, ((0, 0), (0, max_w - f.shape[1]), (0, 0)))
-              for f in feats]
-    offsets = np.cumsum([0] + [f.shape[0] for f in feats[:-1]])
-    heights = np.array([f.shape[0] for f in feats])
-    stacked = jnp.concatenate(padded, axis=0)
+    Accepts (H_l, W_l, C) or batched (B, H_l, W_l, C) levels.  Returns
+    (stacked (..., sumH, maxW, C), row_offsets (L,), heights (L,))."""
+    ax_h = feats[0].ndim - 3
+    max_w = max(f.shape[ax_h + 1] for f in feats)
+    pad = [(0, 0)] * feats[0].ndim
+    padded = []
+    for f in feats:
+        pw = list(pad)
+        pw[ax_h + 1] = (0, max_w - f.shape[ax_h + 1])
+        padded.append(jnp.pad(f, pw))
+    offsets = np.cumsum([0] + [f.shape[ax_h] for f in feats[:-1]])
+    heights = np.array([f.shape[ax_h] for f in feats])
+    stacked = jnp.concatenate(padded, axis=ax_h)
     return stacked, offsets, heights
+
+
+def _ceil8(v: float) -> int:
+    return int(-(-int(np.ceil(v)) // 8) * 8)
+
+
+def _cell_area_bound(strides: Sequence[int], k_min: int = 2,
+                     canonical_size: float = 224.0,
+                     canonical_level: int = 4) -> float:
+    """Max cell area of a ROI assigned to any NON-coarsest level.
+
+    A box at level l < k_max satisfies sqrt(area_px) < canonical *
+    2^(l - canonical_level + 1); dividing by stride_l^2 gives the per-level
+    cell-area bound; take the max over non-coarsest levels."""
+    bound = 0.0
+    for i, st in enumerate(list(strides)[:-1]):
+        l = k_min + i
+        smax = canonical_size * (2.0 ** (l - canonical_level + 1))
+        bound = max(bound, (smax / st) ** 2)
+    return bound
 
 
 def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
@@ -57,27 +102,39 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     """ROIAlign over an FPN pyramid (d2 ROIAlignV2 semantics).
 
     Args:
-      feats: per-level (H_l, W_l, C) maps, levels ordered fine->coarse.
-      boxes: (N, 4) XYXY in input-image coordinates.
+      feats: per-level (H_l, W_l, C) maps — or (B, H_l, W_l, C) for the
+        batched form — levels ordered fine->coarse.
+      boxes: (N, 4) XYXY in input-image coordinates, or (B, N, 4) matching
+        batched ``feats`` (box i of batch b pools from image b's pyramid).
       strides: per-level feature strides (e.g. 4, 8, 16, 32).
       output_size: pooled resolution P (P x P bins).
       sampling_ratio: 0 = d2 adaptive grid (ceil(bin px), the reference
         default); > 0 = fixed grid of that many samples per bin per axis.
 
     Returns:
-      (N, P, P, C) pooled features.
+      (N, P, P, C) pooled features ((B, N, P, P, C) for the batched form).
     """
-    n = boxes.shape[0]
+    single = boxes.ndim == 2
+    if single:
+        boxes = boxes[None]
+        feats = [f[None] for f in feats]
+    bsz, nroi = boxes.shape[0], boxes.shape[1]
     c = feats[0].shape[-1]
     p = output_size
-    stacked, row_off, heights = stack_pyramid(feats)
-    total_h, max_w, _ = stacked.shape
+    stacked, row_off, heights = stack_pyramid(feats)   # (B, sumH, maxW, C)
+    sum_h = int(heights.sum())
+    _, _, max_w, _ = stacked.shape
+    total_h = bsz * sum_h
+    stacked = stacked.reshape(total_h, max_w, c)
 
-    levels = assign_fpn_levels(boxes)                      # (N,)
-    stride = jnp.asarray(strides, jnp.float32)[levels]     # (N,)
-    lvl_off = jnp.asarray(row_off, jnp.float32)[levels]    # (N,)
+    n = bsz * nroi
+    boxes = boxes.reshape(n, 4)
+    levels = assign_fpn_levels(boxes)                      # (n,)
+    stride = jnp.asarray(strides, jnp.float32)[levels]     # (n,)
+    batch_off = jnp.repeat(jnp.arange(bsz, dtype=jnp.float32) * sum_h, nroi)
+    lvl_off = jnp.asarray(row_off, jnp.float32)[levels] + batch_off
     lvl_h = jnp.asarray(heights, jnp.float32)[levels]
-    lvl_w_arr = np.array([f.shape[1] for f in feats], np.float32)
+    lvl_w_arr = np.array([f.shape[-2] for f in feats], np.float32)
     lvl_w = jnp.asarray(lvl_w_arr)[levels]
 
     # ROI in level-feature coordinates, aligned=True (-0.5 pixel shift)
@@ -90,27 +147,30 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     bin_w = roi_w / p
     bin_h = roi_h / p
 
+    fin_h, fin_w = feats[0].shape[-3], feats[0].shape[-2]
     if sampling_ratio > 0:
         s = sampling_ratio
         gx = jnp.full((n,), float(s))
         gy = jnp.full((n,), float(s))
     else:
-        # adaptive bound: the largest ROI lives on the coarsest level and
-        # spans at most its full extent, so gmax is static per geometry
-        coarse = feats[-1]
-        s = max(1, int(-(-max(coarse.shape[0], coarse.shape[1]) // p)))
+        # adaptive slot bound: a ROI's per-axis span at its assigned level
+        # is bounded by that level's extent, and the finest level has the
+        # largest extent — so gmax = ceil(finest_extent / p) covers every
+        # in-image ROI's exact d2 sample count (boxes beyond the image edge
+        # get their g clipped; their samples clamp to the edge either way)
+        s = max(1, int(-(-max(fin_h, fin_w) // p)))
         gx = jnp.clip(jnp.ceil(roi_w / p), 1.0, s)
         gy = jnp.clip(jnp.ceil(roi_h / p), 1.0, s)
 
     # sample lattice: bin b, slot j at fraction (j + 0.5) / g of the bin;
     # slots j >= g are masked out of the average
     slots = jnp.arange(s, dtype=jnp.float32)               # (s,)
-    frac_x = (slots[None, :] + 0.5) / gx[:, None]          # (N, s)
+    frac_x = (slots[None, :] + 0.5) / gx[:, None]          # (n, s)
     frac_y = (slots[None, :] + 0.5) / gy[:, None]
     mask_x = (slots[None, :] < gx[:, None]).astype(jnp.float32)
     mask_y = (slots[None, :] < gy[:, None]).astype(jnp.float32)
     bins = jnp.arange(p, dtype=jnp.float32)                # (p,)
-    # (N, p, s) sample coordinates, clamped into the level's valid extent
+    # (n, p, s) sample coordinates, clamped into the level's valid extent
     # (d2 clamps sampling coords)
     sample_x = jnp.clip(x1[:, None, None]
                         + (bins[None, :, None] + frac_x[:, None, :])
@@ -131,54 +191,126 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     # over ROIs/channels on the MXU.  A_y[i, r] = sum_j mask_j *
     # hat(sy[i,j] - r) is the exact bilinear hat-function weight, so the
     # result is identical to the gather formulation up to summation order.
-    # Window rows that alias other pyramid levels get zero hat weight, so
-    # the aliasing is inert.
-    max_roi_px = max(feats[-1].shape[0], feats[-1].shape[1])
-    win = int(min(total_h, -(-(max_roi_px + 2) // 8) * 8))
-    r_idx = jnp.arange(win, dtype=jnp.float32)             # (win,)
-
-    def interp_matrix(sam, msk, origin):
-        """(N, p, s) sample coords + slot mask -> (N, p, win) weights."""
-        local = sam - origin[:, None, None]                # window-local
-        hat = jnp.clip(1.0 - jnp.abs(local[..., None]
-                                     - r_idx[None, None, None, :]), 0.0, 1.0)
-        return (hat * msk[:, None, :, None]).sum(axis=2)   # (N, p, win)
+    # Window rows that alias other pyramid levels (or other images) get
+    # zero hat weight, so the aliasing is inert.
+    max_coarse = max(feats[-1].shape[-3], feats[-1].shape[-2])
+    area_bound = _cell_area_bound(strides)
+    # square window: covers every coarsest-level ROI, plus win >= 2 +
+    # sqrt(area_bound) so no fine-level ROI can overflow BOTH axes
+    win = _ceil8(max(max_coarse + 4, np.sqrt(area_bound) + 4))
+    win = int(min(win, _ceil8(max(sum_h, max_w))))
+    # overflow windows: a failed fit check (support > win - 2) implies the
+    # ROI spans > win - 3 cells on that axis, so by the area bound it has
+    # < area_bound / (win - 3) cells on the other, needing at most that
+    # + 3 rows of bilinear support
+    thin = _ceil8(area_bound / max(win - 3, 1) + 3)
+    long_x = _ceil8(fin_w + 2)
+    long_y = _ceil8(fin_h + 2)
+    # the square window already spans the finest level -> nothing overflows
+    square_covers_all = win >= max(long_x, long_y)
 
     oy = jnp.clip(jnp.floor(sample_y.min(axis=(1, 2))), 0.0, None)
     ox = jnp.clip(jnp.floor(sample_x.min(axis=(1, 2))), 0.0, None)
-    ay = interp_matrix(sample_y, mask_y, oy)               # (N, p, win)
-    ax = interp_matrix(sample_x, mask_x, ox)
+    fit_x = (sample_x.max(axis=(1, 2)) - ox) <= win - 2
+    fit_y = (sample_y.max(axis=(1, 2)) - oy) <= win - 2
     cnt = jnp.maximum(gx * gy, 1.0)
 
-    def pool_rois(args):
-        ay_, ax_, oy_, ox_, off_, cnt_ = args
-        n_c = ay_.shape[0]
-        rows = (oy_[:, None] + off_[:, None]
-                + r_idx[None, :]).astype(jnp.int32)        # (n_c, win)
-        cols = (ox_[:, None] + r_idx[None, :]).astype(jnp.int32)
+    def hat_matrix(sam, msk, origin, length):
+        """(m, p, s) sample coords + slot mask -> (m, p, length) weights."""
+        r_idx = jnp.arange(length, dtype=jnp.float32)
+        local = sam - origin[:, None, None]                # window-local
+        hat = jnp.clip(1.0 - jnp.abs(local[..., None]
+                                     - r_idx[None, None, None, :]), 0.0, 1.0)
+        return (hat * msk[:, None, :, None]).sum(axis=2)   # (m, p, length)
+
+    def gather_window(oy_, ox_, off_, wy, wx):
+        m = oy_.shape[0]
+        ry = jnp.arange(wy, dtype=jnp.float32)
+        rx = jnp.arange(wx, dtype=jnp.float32)
+        rows = (oy_[:, None] + off_[:, None] + ry[None, :]).astype(jnp.int32)
+        cols = (ox_[:, None] + rx[None, :]).astype(jnp.int32)
         rows = jnp.clip(rows, 0, total_h - 1)
         cols = jnp.clip(cols, 0, max_w - 1)
         lin = rows[:, :, None] * max_w + cols[:, None, :]
-        window = flat[lin.reshape(-1)].reshape(n_c, win, win, c)
-        pooled = jnp.einsum("npr,nrwc->npwc", ay_,
-                            window.astype(jnp.float32))
-        pooled = jnp.einsum("nqw,npwc->npqc", ax_, pooled)
-        return pooled / cnt_[:, None, None, None]
+        return flat[lin.reshape(-1)].reshape(m, wy, wx, c).astype(
+            jnp.float32)
 
-    args = (ay, ax, oy, ox, lvl_off, cnt)
-    # chunk ROIs so the window transient stays bounded under a batched
-    # detect vmap; one chunk when the ROI set is already small
+    def contract(ay_, ax_, window, cnt_):
+        t = jnp.einsum("npr,nrwc->npwc", ay_, window)
+        t = jnp.einsum("nqw,npwc->npqc", ax_, t)
+        return t / cnt_[:, None, None, None]
+
+    sub_chunk = 64
+
+    def pool_rois(args):
+        sy, sx, my, mx, oy_, ox_, off_, cnt_, fx, fy = args
+        ay = hat_matrix(sy, my, oy_, win)
+        ax = hat_matrix(sx, mx, ox_, win)
+        pooled = contract(ay, ax, gather_window(oy_, ox_, off_, win, win),
+                          cnt_)
+        if square_covers_all:
+            return pooled
+        overflow = ~(fx & fy)
+
+        def slow(pooled_sq):
+            def one(sargs):
+                sy_, sx_, my_, mx_, oyy, oxx, o_, c_, fxx = sargs
+                zero = jnp.zeros_like(oyy)
+                # x-elongated: thin rows at oy, full finest width from col 0
+                ay_b = hat_matrix(sy_, my_, oyy, thin)
+                ax_b = hat_matrix(sx_, mx_, zero, long_x)
+                pb = contract(ay_b, ax_b,
+                              gather_window(oyy, zero, o_, thin, long_x), c_)
+                # y-elongated: full finest height from row 0, thin cols at ox
+                ay_c = hat_matrix(sy_, my_, zero, long_y)
+                ax_c = hat_matrix(sx_, mx_, oxx, thin)
+                pc = contract(ay_c, ax_c,
+                              gather_window(zero, oxx, o_, long_y, thin), c_)
+                return jnp.where(fxx[:, None, None, None], pc, pb)
+
+            sargs = (sy, sx, my, mx, oy_, ox_, off_, cnt_, fx)
+            m = sy.shape[0]
+            if m > sub_chunk:
+                ns = m // sub_chunk    # chunk sizes are multiples of 64
+                sh = tuple(a.reshape((ns, sub_chunk) + a.shape[1:])
+                           for a in sargs)
+                po = jax.lax.map(one, sh).reshape(
+                    (m,) + pooled_sq.shape[1:])
+            else:
+                po = one(sargs)
+            return jnp.where(overflow[:, None, None, None], po, pooled_sq)
+
+        return jax.lax.cond(jnp.any(overflow), slow, lambda x: x, pooled)
+
+    args = (sample_y, sample_x, mask_y, mask_x, oy, ox, lvl_off, cnt,
+            fit_x, fit_y)
+    # chunk ROIs so the window transient stays bounded; sort so overflow
+    # ROIs cluster in the tail chunks (the cond then skips the overflow
+    # pass for chunks of ordinary ROIs)
     roi_chunk = 256
-    if n <= roi_chunk:
+    pad_n = (-n) % sub_chunk if n <= roi_chunk else (-n) % roi_chunk
+    if pad_n:
+        # padded ROIs must read as in-window (fit=True) with cnt=1 so they
+        # neither trigger the overflow pass nor divide by zero
+        pad_vals = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, True, True)
+        args = tuple(
+            jnp.pad(a, ((0, pad_n),) + ((0, 0),) * (a.ndim - 1),
+                    constant_values=v)
+            for a, v in zip(args, pad_vals))
+    np_ = n + pad_n
+    perm = None
+    if not square_covers_all and np_ > roi_chunk:
+        overflow_all = ~(args[8] & args[9])
+        perm = jnp.argsort(overflow_all)   # stable: non-overflow first
+        args = tuple(a[perm] for a in args)
+    if np_ <= roi_chunk:
         out = pool_rois(args)
     else:
-        pad_n = (-n) % roi_chunk
-        if pad_n:
-            args = tuple(jnp.pad(a, ((0, pad_n),) + ((0, 0),) * (a.ndim - 1))
-                         for a in args)
-        nch = (n + pad_n) // roi_chunk
+        nch = np_ // roi_chunk
         chunked = tuple(a.reshape((nch, roi_chunk) + a.shape[1:])
                         for a in args)
-        out = jax.lax.map(pool_rois, chunked).reshape(
-            (n + pad_n, p, p, c))[:n]
-    return out.astype(feats[0].dtype)
+        out = jax.lax.map(pool_rois, chunked).reshape((np_, p, p, c))
+    if perm is not None:
+        out = out[jnp.argsort(perm)]
+    out = out[:n].astype(feats[0].dtype).reshape(bsz, nroi, p, p, c)
+    return out[0] if single else out

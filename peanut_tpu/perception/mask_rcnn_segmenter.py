@@ -72,10 +72,10 @@ class MaskRCNNSegmenter:
 
         @jax.jit
         def _detect_batch(variables, imgs):
-            det = jax.vmap(
-                lambda im: self.model.apply(variables,
-                                            im.astype(serve_dtype),
-                                            method=self.model.detect))(imgs)
+            # natively batched (NOT vmap of detect): keeps ROIAlign's
+            # overflow lax.cond a real branch, see models/mask_rcnn.py
+            det = self.model.apply(variables, imgs.astype(serve_dtype),
+                                   method=self.model.detect_batch)
             return _to_f32(det)
 
         self._detect = _detect
@@ -170,10 +170,8 @@ class MaskRCNNSegmenter:
             imgc = img.reshape(nch, chunk, ph, pw, 3)
 
             def run_chunk(ic):
-                det = jax.vmap(
-                    lambda im: model.apply(variables,
-                                           im.astype(serve_dtype),
-                                           method=model.detect))(ic)
+                det = model.apply(variables, ic.astype(serve_dtype),
+                                  method=model.detect_batch)
                 return {k: v.astype(jnp.float32) for k, v in det.items()}
 
             dets = jax.lax.map(run_chunk, imgc)

@@ -1,0 +1,116 @@
+"""Per-stage Mask R-CNN serving profile on the attached device.
+
+Times backbone+FPN / RPN / box head (incl. ROIAlign) / mask head as
+separate jit programs at the serving geometry, plus the fused detect_batch,
+and reports the overflow-ROI population that hits ROIAlign's elongated-box
+pass.  Timings fetch a device-computed scalar (axon tunnel:
+block_until_ready alone is unreliable).
+
+Usage: python scripts/profile_maskrcnn.py [--batch 8] [--iters 6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--height", type=int, default=800)
+    ap.add_argument("--width", type=int, default=1088)
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+    import jax
+    import jax.numpy as jnp
+
+    from peanut_tpu.models.mask_rcnn import MaskRCNN, FPN_STRIDES
+
+    model = MaskRCNN(num_classes=9)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(args.batch, args.height, args.width, 3)
+                      .astype(np.float32) * 50.0)
+
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, method=model.detect))(
+        jax.random.PRNGKey(0), img[0])
+    variables = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
+    img = img.astype(jnp.bfloat16)
+
+    h, w = args.height, args.width
+
+    feat_fn = jax.jit(lambda v, x: model.apply(v, x, method=model.features))
+    prop_fn = jax.jit(lambda v, py: model.apply(v, py, h, w,
+                                                method=model.proposals))
+    box_fn = jax.jit(lambda v, py, p, s: model.apply(
+        v, py, p, s, h, w, method=model.box_inference))
+    mask_fn = jax.jit(lambda v, py, b, c: model.apply(
+        v, py, b, c, method=model.mask_inference))
+    det_fn = jax.jit(lambda v, x: model.apply(v, x,
+                                              method=model.detect_batch))
+
+    def sync(tree):
+        leaves = jax.tree.leaves(tree)
+        return float(jnp.sum(leaves[0].astype(jnp.float32)))
+
+    def bench(name, fn, *a):
+        out = fn(*a)          # compile + warm
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(*a)
+            sync(out)
+        dt = (time.perf_counter() - t0) / args.iters * 1000
+        print(f"{name:24s} {dt:8.1f} ms")
+        return out, dt
+
+    pyramid, t_feat = bench("backbone+fpn", feat_fn, variables, img)
+    (props, pscores), t_prop = bench("rpn+proposals", prop_fn, variables,
+                                     pyramid)
+    (boxes, scores, classes), t_box = bench("box head (roialign+nms)",
+                                            box_fn, variables, pyramid,
+                                            props, pscores)
+    masks, t_mask = bench("mask head (roialign)", mask_fn, variables,
+                          pyramid, boxes, classes)
+    det, t_all = bench("detect_batch fused", det_fn, variables, img)
+
+    print(f"{'stage sum':24s} {t_feat + t_prop + t_box + t_mask:8.1f} ms")
+    fps = args.batch / (t_all / 1000)
+    print(f"fused: {fps:.1f} frames/s @ batch {args.batch}")
+
+    # overflow population among proposals (box stage ROIAlign)
+    from peanut_tpu.models.roi_align import (assign_fpn_levels,
+                                             _cell_area_bound, _ceil8)
+    pr = np.asarray(props.reshape(-1, 4), np.float64)
+    lv = np.asarray(assign_fpn_levels(jnp.asarray(pr)))
+    strides = np.array(FPN_STRIDES[:4], np.float64)[lv]
+    spans = np.stack([(pr[:, 2] - pr[:, 0]) / strides,
+                      (pr[:, 3] - pr[:, 1]) / strides], 1)
+    coarse = max(-(-h // 32), -(-w // 32))
+    ab = _cell_area_bound(FPN_STRIDES[:4])
+    win = _ceil8(max(coarse + 4, np.sqrt(ab) + 4))
+    over = (spans > win - 3).any(axis=1)
+    print(f"proposal overflow: {over.sum()}/{len(pr)} "
+          f"(win={win}, spans p99={np.percentile(spans.max(1), 99):.1f})")
+    mb = np.asarray(boxes.reshape(-1, 4), np.float64)
+    lv = np.asarray(assign_fpn_levels(jnp.asarray(mb)))
+    strides = np.array(FPN_STRIDES[:4], np.float64)[lv]
+    spans = np.stack([(mb[:, 2] - mb[:, 0]) / strides,
+                      (mb[:, 3] - mb[:, 1]) / strides], 1)
+    over = (spans > win - 3).any(axis=1)
+    print(f"detection overflow: {over.sum()}/{len(mb)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -194,6 +194,87 @@ def test_roi_align_adaptive_matches_torchvision_exactly(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def np_multilevel_roi_align(feats_chw, boxes, strides, out_size):
+    """Per-ROI oracle: d2 level assignment + single-level adaptive align."""
+    area = (np.maximum(boxes[:, 2] - boxes[:, 0], 0)
+            * np.maximum(boxes[:, 3] - boxes[:, 1], 0))
+    lvl = np.clip(np.floor(4 + np.log2(np.sqrt(area) / 224.0 + 1e-8)),
+                  2, 5).astype(int) - 2
+    c = feats_chw[0].shape[0]
+    out = np.zeros((len(boxes), c, out_size, out_size), np.float32)
+    for i, b in enumerate(boxes):
+        li = lvl[i]
+        out[i] = np_roi_align(feats_chw[li], b[None], 1.0 / strides[li],
+                              out_size, 0)[0]
+    return out
+
+
+def test_roi_align_multilevel_fpn_elongated(rng):
+    """Real FPN geometry (strides 4/8/16/32 of ONE image) including
+    high-aspect boxes that d2 assigns to fine levels where they span far
+    more cells than the coarsest level's extent (round-2 advisor finding:
+    such boxes silently pooled to ~0 with a coarse-extent window)."""
+    img_h, img_w = 160, 224
+    strides = (4, 8, 16, 32)
+    feats_chw = [rng.rand(8, img_h // s_, img_w // s_).astype(np.float32)
+                 for s_ in strides]
+    boxes = np.array([
+        [10, 20, 60, 70],     # small square -> level 0, fits square window
+        [0, 40, 220, 60],     # 220x20 px -> level 0, 55 cells wide
+        [30, 0, 50, 158],     # 20x158 px -> level 0, ~40 cells tall
+        [5, 5, 215, 155],     # large box -> coarser level, fits
+        [0, 0, 223, 10],      # full-width sliver -> level 0
+        [100, 3, 140, 40],    # modest portrait box
+    ], np.float32)
+    want = np_multilevel_roi_align(feats_chw, boxes, strides, 7)
+    feats = [jnp.asarray(f.transpose(1, 2, 0)) for f in feats_chw]
+    got = np.asarray(multilevel_roi_align(feats, jnp.asarray(boxes),
+                                          strides, 7, sampling_ratio=0))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_serving_geometry_elongated(rng):
+    """The 800x1088 serving geometry with the advisor's exact failure case
+    (a 200x60 px level-0 box spanning 50 cells vs the old win=40) plus the
+    mask-head pooled size."""
+    strides = (4, 8, 16, 32)
+    feats_chw = [rng.rand(4, 800 // s_, 1088 // s_).astype(np.float32)
+                 for s_ in strides]
+    boxes = np.array([
+        [100, 100, 300, 160],   # 200x60 -> level 0, 50 cells wide
+        [40, 80, 1060, 140],    # 1020x60 -> level 1, ~127 cells wide
+        [500, 30, 560, 780],    # 60x750 -> level 1, ~94 cells tall
+        [200, 200, 600, 500],   # large box -> coarse level
+        [20, 20, 120, 120],     # 100x100 square -> level 0
+    ], np.float32)
+    feats = [jnp.asarray(f.transpose(1, 2, 0)) for f in feats_chw]
+    for out_size in (7, 14):
+        want = np_multilevel_roi_align(feats_chw, boxes, strides, out_size)
+        got = np.asarray(multilevel_roi_align(feats, jnp.asarray(boxes),
+                                              strides, out_size,
+                                              sampling_ratio=0))
+        np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_batched_matches_single(rng):
+    """(B, N, 4) batched form == per-image single calls."""
+    strides = (4, 8, 16, 32)
+    bsz = 3
+    feats_b = [jnp.asarray(rng.rand(bsz, 160 // s_, 224 // s_, 6)
+                           .astype(np.float32)) for s_ in strides]
+    boxes = np.stack([random_boxes(rng, 5, 150.0) for _ in range(bsz)])
+    boxes[1, 2] = [0, 40, 220, 60]     # elongated overflow box in image 1
+    got = np.asarray(multilevel_roi_align(feats_b, jnp.asarray(boxes),
+                                          strides, 7, sampling_ratio=0))
+    for b in range(bsz):
+        want = np.asarray(multilevel_roi_align(
+            [f[b] for f in feats_b], jnp.asarray(boxes[b]), strides, 7,
+            sampling_ratio=0))
+        np.testing.assert_allclose(got[b], want, rtol=1e-5, atol=1e-5)
+
+
 def test_fpn_level_assignment():
     boxes = jnp.asarray(np.array([
         [0, 0, 64, 64],      # sqrt(area)=64 -> lvl 2
