@@ -341,7 +341,23 @@ class BatchedNavRuntime:
                 dd_wt = dd_wt.at[sub].set(dd_s)
                 dd_valid = dd_valid.at[sub].set(dd_valid[sub] | trig_s)
 
-                value = tp_s * dd_s
+                # dist_weight_temperature special modes (agent_state.py:
+                # 402-407): -1 = no distance weighting, 0 = frontier-based
+                # exploration (ignore cells closer than 60, flat 100-cell
+                # temperature, no prediction multiply).  Static config ->
+                # compile-time branch.
+                if cfg.dist_weight_temperature == -1:
+                    value = tp_s
+                elif cfg.dist_weight_temperature == 0:
+                    dd_f = jnp.where(dd < 60.0, jnp.inf, dd)
+                    frontier = B.window_shuttle_in(
+                        jnp.exp(-dd_f / 100.0)[:, None], lmb_s,
+                        self.Hl, self.Wl)[:, 0]
+                    # non-trigger rows keep their previous goal anyway
+                    # (take = trig & changed); reuse the frontier window
+                    value = frontier
+                else:
+                    value = tp_s * dd_s
                 flat = value.reshape(pred_k, -1)
                 idx = jnp.argmax(flat, axis=1).astype(jnp.int32)
                 new_goal = jnp.stack([idx // self.Wl, idx % self.Wl], axis=1)

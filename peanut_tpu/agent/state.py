@@ -32,7 +32,7 @@ from ..prediction import PredictionModel
 class NavAgentState:
     def __init__(self, cfg: NavConfig, prediction_model: Optional[PredictionModel] = None):
         self.cfg = cfg
-        np.random.seed(cfg.seed)
+        np.random.seed(1 if cfg.seed is None else cfg.seed)
 
         self.nc = cfg.num_map_channels
         self.full_w = self.full_h = cfg.map_size

@@ -18,8 +18,9 @@ from ..constants import hm3d_names
 
 def make_env(cfg: NavConfig, fake: bool, seed: int = None):
     # --seed flag (reference arguments.py:10) governs env seeding; the
-    # historical fake-env default (100) is kept when the flag is untouched
-    seed = (100 if cfg.seed == 1 else cfg.seed) if seed is None else seed
+    # historical fake-env default (100) is kept when the flag is unset
+    # (cfg.seed None), so an explicit --seed 1 is honored as 1
+    seed = (100 if cfg.seed is None else cfg.seed) if seed is None else seed
     if fake:
         from ..envs import FakeNavEnv
         return FakeNavEnv(cfg, seed=seed)

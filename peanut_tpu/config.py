@@ -25,7 +25,10 @@ class NavConfig:
     """
 
     # General
-    seed: int = 1
+    # None = "not specified": consumers fall back to the reference default
+    # (1, arguments.py:10) or a surface-specific one (collect's fake-env
+    # 100) — an explicit --seed 1 is then distinguishable from the default
+    seed: Optional[int] = None
     start_ep: int = 0
     end_ep: int = -1
     visualize: int = 0           # 1: on screen, 2: dump jpgs
@@ -141,6 +144,8 @@ class NavConfig:
                 parser.add_argument("-d", name, type=str, default=default)
             elif isinstance(default, bool):
                 parser.add_argument(name, type=int, default=int(default))
+            elif f.name == "seed":
+                parser.add_argument(name, type=int, default=None)
             elif default is None:
                 parser.add_argument(name, type=str, default=None)
             else:

@@ -340,7 +340,7 @@ def _sweep2(d, wall, src, reverse: bool, block: int, inner: int):
 @functools.partial(jax.jit, static_argnames=("n_iters", "block", "inner",
                                              "order", "n_iters2"))
 def eikonal_distance(traversible, sources, n_iters: int = 2, block: int = 16,
-                     inner: int = 40, order: int = 2, n_iters2: int = 1):
+                     inner: int = 40, order: int = 2, n_iters2: int = 2):
     """Geodesic (unit-speed eikonal) distance to source cells.
 
     Args:
@@ -355,7 +355,12 @@ def eikonal_distance(traversible, sources, n_iters: int = 2, block: int = 16,
         default order at the reference call sites) additionally runs
         ``n_iters2`` second-order refinement iterations — assignment-based
         directed sweeps from the first-order solution, which cut the
-        diagonal overestimate by an order of magnitude.
+        diagonal overestimate by an order of magnitude.  Default 2: one
+        round leaves multi-room floor plans unconverged (measured +5.7
+        cells vs a heap-marching oracle on 240^2 cluttered plans,
+        tests/test_fmm_oracle.py); two rounds reach <=~1 cell of skfmm's
+        marching solution, and further rounds drift toward the sweeping
+        fixed point which *undershoots* marching slightly.
 
     Returns:
       (..., H, W) float32 distances; +inf at walls and unreachable cells.

@@ -65,6 +65,58 @@ def test_batched_matches_single_env_actions():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("dwt", [-1.0, 0.0])
+def test_batched_matches_single_dist_weight_modes(dwt):
+    """dist_weight_temperature -1 (no weighting) and 0 (frontier mode,
+    agent_state.py:402-407) must flow through the fused tick, not only the
+    single-env path (VERDICT r2 item 5)."""
+    cfg = small_cfg()
+    cfg.dist_weight_temperature = dwt
+    n = 2
+    seeds = [5, 23]
+    steps = 15
+    pm = tiny_prediction_model(cfg)
+
+    single_actions = []
+    for seed in seeds:
+        env = FakeNavEnv(cfg, size_m=12.0, seed=seed, max_steps=steps + 5)
+        agent = PeanutAgent(cfg, prediction_model=pm)
+        obs = env.reset()
+        agent.reset()
+        acts = []
+        for _ in range(steps):
+            a = agent.act(obs)
+            acts.append(a["action"])
+            obs = env.step(a)
+            if env.episode_over:
+                break
+        single_actions.append(acts)
+
+    envs = [FakeNavEnv(cfg, size_m=12.0, seed=s, max_steps=steps + 5)
+            for s in seeds]
+    runtime = BatchedNavRuntime(cfg, n, prediction_model=pm)
+    obs = [e.reset() for e in envs]
+    for i in range(n):
+        runtime.reset_env(i)
+    batched_actions = [[] for _ in range(n)]
+    done = [False] * n
+    for _ in range(steps):
+        acts = runtime.act_batch(obs)
+        for i in range(n):
+            if not done[i]:
+                batched_actions[i].append(acts[i]["action"])
+                obs[i] = envs[i].step(acts[i])
+                if envs[i].episode_over:
+                    done[i] = True
+
+    for i in range(n):
+        k = min(len(single_actions[i]), len(batched_actions[i]))
+        assert batched_actions[i][:k] == single_actions[i][:k], (
+            f"dwt={dwt} env {i}: single={single_actions[i][:k]} "
+            f"batched={batched_actions[i][:k]}")
+
+
+@pytest.mark.slow
 def test_batch_runner_lifecycle():
     cfg = small_cfg(use_gt_seg=1)
     pm = tiny_prediction_model(cfg)
