@@ -7,6 +7,9 @@ prediction/tools/model_converters/ (7 scripts):
   python -m peanut_tpu.cli.convert dataset cityscapes DATA_ROOT
   python -m peanut_tpu.cli.convert dataset voc_aug DEVKIT SBD OUT
   python -m peanut_tpu.cli.convert dataset remap IN_DIR OUT_DIR --table t.json
+  python -m peanut_tpu.cli.convert dataset chase_db1|drive|hrf|stare|
+      pascal_context|isaid|potsdam|vaihingen|loveda|coco_stuff10k|
+      coco_stuff164k ...   (per-dataset walkers, see cli/convert_datasets.py)
 
 Model converters read torch ``.pth``/``.npz`` checkpoints and write a
 native orbax checkpoint (restore with core.checkpoint.load_checkpoint or
@@ -192,6 +195,10 @@ def main(argv=None):
                     help="JSON {src_id: dst_id} table")
     rm.add_argument("--default", type=int, default=255)
     rm.set_defaults(fn=dataset_remap)
+
+    # per-dataset layout walkers (convert_datasets/ twins)
+    from .convert_datasets import register_subcommands
+    register_subcommands(dsub)
 
     args = p.parse_args(argv)
     args.fn(args)
