@@ -8,6 +8,7 @@ sizes are small, XLA keeps it on the MXU.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -27,12 +28,26 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = nn.Dense(self.dim * self.ratio, name="fc1")(x)
-        return nn.Dense(self.dim, name="fc2")(nn.gelu(h))
+        # exact erf GELU (torch nn.GELU default; flax defaults to tanh)
+        return nn.Dense(self.dim, name="fc2")(nn.gelu(h, approximate=False))
+
+
+def _rel_pos_index(w: int) -> np.ndarray:
+    """Swin relative-position index, identical to the torch buffer layout:
+    pair (i, j) of window tokens -> row of the ((2w-1)^2, heads) table."""
+    coords = np.stack(np.meshgrid(np.arange(w), np.arange(w),
+                                  indexing="ij")).reshape(2, -1)
+    rel = (coords[:, :, None] - coords[:, None, :]).transpose(1, 2, 0)
+    rel = rel + (w - 1)
+    return (rel[..., 0] * (2 * w - 1) + rel[..., 1]).astype(np.int32)
 
 
 class Attention(nn.Module):
     dim: int
     num_heads: int
+    # > 0: windowed attention with a learned relative-position bias table
+    # (Swin WindowMSA; reference prediction/mmseg/models/backbones/swin.py)
+    window_size: int = 0
 
     @nn.compact
     def __call__(self, x, bias=None):
@@ -45,8 +60,24 @@ class Attention(nn.Module):
             return t.reshape(b, n, self.num_heads, hd).transpose(0, 2, 1, 3)
 
         attn = jnp.einsum("bhnd,bhmd->bhnm", heads(q), heads(k)) / np.sqrt(hd)
+        if self.window_size:
+            w = self.window_size
+            table = self.param("rel_pos_bias_table",
+                               nn.initializers.normal(0.02),
+                               ((2 * w - 1) ** 2, self.num_heads))
+            idx = _rel_pos_index(w)
+            rel = table[idx.reshape(-1)].reshape(w * w, w * w,
+                                                 self.num_heads)
+            attn = attn + jnp.transpose(rel, (2, 0, 1))[None]
         if bias is not None:
-            attn = attn + bias
+            if bias.ndim == 4 and bias.shape[0] != b:
+                # per-window shift mask (nW, 1, n, n): broadcast over the
+                # image batch folded into axis 0 (b = batch * nW)
+                nw = bias.shape[0]
+                attn = (attn.reshape((b // nw, nw) + attn.shape[1:])
+                        + bias[None]).reshape(attn.shape)
+            else:
+                attn = attn + bias
         attn = nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, heads(v))
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
@@ -117,6 +148,24 @@ def _window_reverse(wins, ws: int, b: int, h: int, w: int):
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
 
 
+@functools.lru_cache(maxsize=64)
+def _shift_attn_mask(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
+    """Shifted-window attention mask (nW, n, n): 0 within a contiguous
+    region, -100 across the wrap-around seams introduced by the roll
+    (Swin ShiftWindowMSA semantics)."""
+    img = np.zeros((1, hp, wp, 1), np.float32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for vs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[:, hs, vs] = cnt
+            cnt += 1
+    win = np.asarray(
+        img.reshape(1, hp // ws, ws, wp // ws, ws, 1)
+        .transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws))
+    diff = win[:, None, :] - win[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
 class SwinBlock(nn.Module):
     dim: int
     num_heads: int
@@ -133,10 +182,14 @@ class SwinBlock(nn.Module):
         y = nn.LayerNorm(name="norm1")(x)
         y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         hp, wp = y.shape[1], y.shape[2]
+        mask = None
         if self.shift:
             y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
+            mask = jnp.asarray(
+                _shift_attn_mask(hp, wp, ws, self.shift))[:, None]
         wins = _window_partition(y, ws)
-        wins = Attention(self.dim, self.num_heads, name="attn")(wins)
+        wins = Attention(self.dim, self.num_heads, window_size=ws,
+                         name="attn")(wins, mask)
         y = _window_reverse(wins, ws, b, hp, wp)
         if self.shift:
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
@@ -154,11 +207,14 @@ class SwinTransformer(nn.Module):
     num_heads: Sequence[int] = (3, 6, 12, 24)
     window: int = 7
     patch_size: int = 4
+    patch_norm: bool = True   # official/mmseg Swin: LN after patch embed
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = Conv2d(self.embed_dim, self.patch_size, stride=self.patch_size,
                    name="patch_embed")(x)
+        if self.patch_norm:
+            x = nn.LayerNorm(name="patch_norm_ln")(x)
         outs = []
         dim = self.embed_dim
         for s, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):

@@ -211,16 +211,16 @@ def convert_official_mit(sd: Dict[str, np.ndarray]
 def convert_official_swin(sd: Dict[str, np.ndarray]
                           ) -> Tuple[Dict[str, Any], List[str]]:
     """Official Microsoft Swin state dict -> SwinTransformer
-    (models/vit.py) — swin2mmseg.py twin.
-
-    This zoo's window attention omits the relative-position bias table, so
-    those keys come back in ``leftovers`` (documented zoo delta)."""
+    (models/vit.py) — swin2mmseg.py twin.  Maps the relative-position
+    bias tables and the post-patch-embed LayerNorm; the
+    relative_position_index / attn_mask buffers are recomputed statically
+    (models/vit.py _rel_pos_index / _shift_attn_mask) and marked handled."""
     params: Dict[str, Any] = {}
     handled = set()
 
     _conv(params, sd, "patch_embed.proj", ("patch_embed",), handled)
     if "patch_embed.norm.weight" in sd:
-        handled.update({"patch_embed.norm.weight", "patch_embed.norm.bias"})
+        _ln(params, sd, "patch_embed.norm", ("patch_norm_ln",), handled)
 
     lay = re.compile(r"layers\.(\d+)\.blocks\.(\d+)\.")
     stages = {}
@@ -237,6 +237,13 @@ def convert_official_swin(sd: Dict[str, np.ndarray]
             _dense(params, sd, f"{t}.attn.qkv", f + ("attn", "qkv"), handled)
             _dense(params, sd, f"{t}.attn.proj", f + ("attn", "proj"),
                    handled)
+            tbl = f"{t}.attn.relative_position_bias_table"
+            if tbl in sd:
+                _set(params, f + ("attn", "rel_pos_bias_table"), sd[tbl])
+                handled.add(tbl)
+            # static in this implementation; nothing to load
+            handled.add(f"{t}.attn.relative_position_index")
+            handled.add(f"{t}.attn_mask")
             _dense(params, sd, f"{t}.mlp.fc1", f + ("mlp", "fc1"), handled)
             _dense(params, sd, f"{t}.mlp.fc2", f + ("mlp", "fc2"), handled)
         dt = f"layers.{s}.downsample"
