@@ -120,9 +120,10 @@ def bench_seg():
 
     @jax.jit
     def detect_sum(v, imgs):
-        det = jax.vmap(
-            lambda im: model.apply(v, im.astype(jnp.bfloat16),
-                                   method=model.detect))(imgs)
+        # natively batched (vmap would flatten ROIAlign's overflow cond
+        # into always-executed selects — see models/roi_align.py)
+        det = model.apply(v, imgs.astype(jnp.bfloat16),
+                          method=model.detect_batch)
         # checksum over every output head forces full pipeline execution
         return (jnp.sum(det["scores"].astype(jnp.float32)
                         * jnp.isfinite(det["scores"]))
@@ -152,7 +153,7 @@ def bench_seg():
     }
 
 
-def bench_env_steps(n_envs: int = 16, ticks: int = 40):
+def bench_env_steps(n_envs: int = 16, ticks: int = 60):
     """Batched ObjectNav runtime, full production models (random weights,
     identical compute), synthetic raycast envs at challenge geometry."""
     import jax
@@ -180,13 +181,20 @@ def bench_env_steps(n_envs: int = 16, ticks: int = 40):
         prediction_model=pm, segmenter=segmenter)
 
     runner.reset_all()
-    for _ in range(3):  # warmup (compile all tick programs)
+    for _ in range(5):  # warmup (compile all tick program variants)
         runner.tick()
+    # rare data-dependent paths (replan / goal magnify) compile here, NOT
+    # inside the first measured tick that happens to trigger them
+    runner.runtime.warmup_rare_paths()
 
+    tick_ms = []
     t0 = time.perf_counter()
     for _ in range(ticks):
+        t1 = time.perf_counter()
         runner.tick()
+        tick_ms.append((time.perf_counter() - t1) * 1000)
     dt = time.perf_counter() - t0
+    med = float(np.median(tick_ms))
     sps = n_envs * ticks / dt
     return {
         "metric": "objectnav_env_steps_per_sec_16env",
@@ -195,6 +203,8 @@ def bench_env_steps(n_envs: int = 16, ticks: int = 40):
         "vs_baseline": round(sps / BASELINE_ENV_SPS, 2),
         "envs": n_envs,
         "ms_per_tick": round(1000 * dt / ticks, 1),
+        "ms_per_tick_median": round(med, 1),
+        "steps_per_sec_median": round(n_envs * 1000.0 / med, 2),
         "baseline_provenance": "estimated reference single-process loop "
                                "~2.5 steps/s on V100; north-star = 10x",
     }

@@ -26,6 +26,7 @@ class Conv2d(nn.Module):
     dilation: Union[int, Tuple[int, int]] = 1
     use_bias: bool = True
     groups: int = 1
+    kernel_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x):
@@ -33,6 +34,9 @@ class Conv2d(nn.Module):
         s = _pair(self.stride)
         p = _pair(self.padding)
         d = _pair(self.dilation)
+        extra = {}
+        if self.kernel_init is not None:
+            extra["kernel_init"] = self.kernel_init
         return nn.Conv(
             features=self.features,
             kernel_size=k,
@@ -42,7 +46,8 @@ class Conv2d(nn.Module):
             feature_group_count=self.groups,
             use_bias=self.use_bias,
             dtype=x.dtype,
-            name="conv")(x)
+            name="conv",
+            **extra)(x)
 
 
 class BatchNorm(nn.Module):

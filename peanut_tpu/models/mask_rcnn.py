@@ -46,9 +46,16 @@ class RPNHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats):
-        conv = Conv2d(256, 3, padding=1, use_bias=True, name="conv")
-        obj = Conv2d(self.num_anchors, 1, use_bias=True, name="objectness")
-        deltas = Conv2d(self.num_anchors * 4, 1, use_bias=True, name="deltas")
+        # d2 StandardRPNHead init: normal(std=0.01), zero bias — without it
+        # random-init proposals are degenerate sliver boxes (exp of O(1)
+        # deltas), which is both unfaithful and pathological for ROIAlign
+        init = nn.initializers.normal(0.01)
+        conv = Conv2d(256, 3, padding=1, use_bias=True, kernel_init=init,
+                      name="conv")
+        obj = Conv2d(self.num_anchors, 1, use_bias=True, kernel_init=init,
+                     name="objectness")
+        deltas = Conv2d(self.num_anchors * 4, 1, use_bias=True,
+                        kernel_init=init, name="deltas")
         outs = []
         for f in feats:
             t = nn.relu(conv(f))
@@ -74,8 +81,13 @@ class BoxPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        scores = nn.Dense(self.num_classes + 1, name="cls_score")(x)
-        deltas = nn.Dense(self.num_classes * 4, name="bbox_pred")(x)
+        # d2 FastRCNNOutputLayers init: cls normal(0.01), box normal(0.001)
+        scores = nn.Dense(self.num_classes + 1,
+                          kernel_init=nn.initializers.normal(0.01),
+                          name="cls_score")(x)
+        deltas = nn.Dense(self.num_classes * 4,
+                          kernel_init=nn.initializers.normal(0.001),
+                          name="bbox_pred")(x)
         return scores, deltas
 
 

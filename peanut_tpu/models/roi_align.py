@@ -39,6 +39,7 @@ only the square pass.
 
 from __future__ import annotations
 
+import os
 from typing import List, Sequence, Tuple
 
 import jax
@@ -199,21 +200,55 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     # sqrt(area_bound) so no fine-level ROI can overflow BOTH axes
     win = _ceil8(max(max_coarse + 4, np.sqrt(area_bound) + 4))
     win = int(min(win, _ceil8(max(sum_h, max_w))))
-    # overflow windows: a failed fit check (support > win - 2) implies the
+    # overflow passes: a failed fit check (support > win - 2) implies the
     # ROI spans > win - 3 cells on that axis, so by the area bound it has
-    # < area_bound / (win - 3) cells on the other, needing at most that
-    # + 3 rows of bilinear support
-    thin = _ceil8(area_bound / max(win - 3, 1) + 3)
-    long_x = _ceil8(fin_w + 2)
+    # < area_bound / (win - 3) cells on the other; bilinear support spans
+    # ceil(max)-floor(min)+1 <= that + 2 rows (+1 safety).  No rounding-up
+    # to 8: the thin axis is a gather row count, not a lane dimension.
+    thin = int(np.ceil(area_bound / max(win - 3, 1) + 3)) + 1
     long_y = _ceil8(fin_h + 2)
     # the square window already spans the finest level -> nothing overflows
-    square_covers_all = win >= max(long_x, long_y)
+    square_covers_all = win >= max(_ceil8(fin_w + 2), long_y)
+    if os.environ.get("PEANUT_ROI_DEBUG") == "square":
+        square_covers_all = True   # diagnostic only: skip overflow passes
 
-    oy = jnp.clip(jnp.floor(sample_y.min(axis=(1, 2))), 0.0, None)
-    ox = jnp.clip(jnp.floor(sample_x.min(axis=(1, 2))), 0.0, None)
-    fit_x = (sample_x.max(axis=(1, 2)) - ox) <= win - 2
-    fit_y = (sample_y.max(axis=(1, 2)) - oy) <= win - 2
+    # live-sample extremes, analytically: first live slot sits at bin 0
+    # fraction 0.5/g, last at bin p-1 fraction (g-0.5)/g.  (Taking min/max
+    # over the sample tensors would include MASKED slots, whose positions
+    # run past the ROI and clamp to the level edge — that misclassified
+    # nearly every ROI as overflowing.)
+    min_sx = jnp.clip(x1 + (0.5 / gx) * bin_w, 0.0, lvl_w - 1.0)
+    max_sx = jnp.clip(x1 + ((p - 1) + (gx - 0.5) / gx) * bin_w, 0.0,
+                      lvl_w - 1.0)
+    min_sy = jnp.clip(y1 + (0.5 / gy) * bin_h, 0.0, lvl_h - 1.0)
+    max_sy = jnp.clip(y1 + ((p - 1) + (gy - 0.5) / gy) * bin_h, 0.0,
+                      lvl_h - 1.0)
+    oy = jnp.clip(jnp.floor(min_sy), 0.0, None)
+    ox = jnp.clip(jnp.floor(min_sx), 0.0, None)
+    fit_x = (max_sx - ox) <= win - 2
+    fit_y = (max_sy - oy) <= win - 2
     cnt = jnp.maximum(gx * gy, 1.0)
+
+    # column-major twin of the stacked buffer for the y-elongated pass:
+    # per (image, level) blocks transposed so a ROI's thin COLUMN strip
+    # becomes a contiguous-row gather, levels concatenated along the
+    # (b, x) row axis and level heights padded to a common long_y
+    t2_col_off = None
+    if not square_covers_all:
+        widths = [f.shape[-2] for f in feats]
+        col_cum = np.cumsum([0] + widths[:-1])
+        sum_w = int(sum(widths))
+        blocks = []
+        for f in feats:
+            ft = jnp.swapaxes(f, 1, 2)          # (B, W_l, H_l, C)
+            ft = jnp.pad(ft, ((0, 0), (0, 0),
+                              (0, long_y - f.shape[-3]), (0, 0)))
+            blocks.append(ft)
+        t2 = jnp.concatenate(blocks, axis=1)    # (B, sumW, long_y, C)
+        t2 = t2.reshape(bsz * sum_w, long_y, c)
+        batch_col = jnp.repeat(
+            jnp.arange(bsz, dtype=jnp.float32) * sum_w, nroi)
+        t2_col_off = jnp.asarray(col_cum, jnp.float32)[levels] + batch_col
 
     def hat_matrix(sam, msk, origin, length):
         """(m, p, s) sample coords + slot mask -> (m, p, length) weights."""
@@ -224,6 +259,7 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
         return (hat * msk[:, None, :, None]).sum(axis=2)   # (m, p, length)
 
     def gather_window(oy_, ox_, off_, wy, wx):
+        """Element-level 2-D window gather (the square pass)."""
         m = oy_.shape[0]
         ry = jnp.arange(wy, dtype=jnp.float32)
         rx = jnp.arange(wx, dtype=jnp.float32)
@@ -232,84 +268,115 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
         rows = jnp.clip(rows, 0, total_h - 1)
         cols = jnp.clip(cols, 0, max_w - 1)
         lin = rows[:, :, None] * max_w + cols[:, None, :]
-        return flat[lin.reshape(-1)].reshape(m, wy, wx, c).astype(
-            jnp.float32)
+        return flat[lin.reshape(-1)].reshape(m, wy, wx, c)
 
     def contract(ay_, ax_, window, cnt_):
-        t = jnp.einsum("npr,nrwc->npwc", ay_, window)
+        # big contraction runs in the feature dtype (bf16 serving) on the
+        # MXU with f32 accumulation; the small second contraction in f32
+        t = jnp.einsum("npr,nrwc->npwc", ay_.astype(window.dtype), window,
+                       preferred_element_type=jnp.float32)
         t = jnp.einsum("nqw,npwc->npqc", ax_, t)
         return t / cnt_[:, None, None, None]
 
-    sub_chunk = 64
-
-    def pool_rois(args):
-        sy, sx, my, mx, oy_, ox_, off_, cnt_, fx, fy = args
+    def pool_fast(args):
+        sy, sx, my, mx, oy_, ox_, off_, _, cnt_, *_rest = args
         ay = hat_matrix(sy, my, oy_, win)
         ax = hat_matrix(sx, mx, ox_, win)
-        pooled = contract(ay, ax, gather_window(oy_, ox_, off_, win, win),
-                          cnt_)
-        if square_covers_all:
-            return pooled
-        overflow = ~(fx & fy)
+        return contract(ay, ax, gather_window(oy_, ox_, off_, win, win),
+                        cnt_)
 
-        def slow(pooled_sq):
-            def one(sargs):
-                sy_, sx_, my_, mx_, oyy, oxx, o_, c_, fxx = sargs
-                zero = jnp.zeros_like(oyy)
-                # x-elongated: thin rows at oy, full finest width from col 0
-                ay_b = hat_matrix(sy_, my_, oyy, thin)
-                ax_b = hat_matrix(sx_, mx_, zero, long_x)
-                pb = contract(ay_b, ax_b,
-                              gather_window(oyy, zero, o_, thin, long_x), c_)
-                # y-elongated: full finest height from row 0, thin cols at ox
-                ay_c = hat_matrix(sy_, my_, zero, long_y)
-                ax_c = hat_matrix(sx_, mx_, oxx, thin)
-                pc = contract(ay_c, ax_c,
-                              gather_window(zero, oxx, o_, long_y, thin), c_)
-                return jnp.where(fxx[:, None, None, None], pc, pb)
+    sub_chunk = 64
 
-            sargs = (sy, sx, my, mx, oy_, ox_, off_, cnt_, fx)
-            m = sy.shape[0]
-            if m > sub_chunk:
-                ns = m // sub_chunk    # chunk sizes are multiples of 64
-                sh = tuple(a.reshape((ns, sub_chunk) + a.shape[1:])
-                           for a in sargs)
-                po = jax.lax.map(one, sh).reshape(
-                    (m,) + pooled_sq.shape[1:])
-            else:
-                po = one(sargs)
-            return jnp.where(overflow[:, None, None, None], po, pooled_sq)
+    def pool_slow(args):
+        """Square pass + both elongated-overflow passes + per-ROI select.
+        The overflow windows are ROW gathers (contiguous feature rows of
+        the stacked / column-major buffers), which stream at near-HBM
+        bandwidth instead of element-gathering."""
+        def one(sargs):
+            sy_, sx_, my_, mx_, oyy, oxx, off_, t2o, c_, fxx, fyy = sargs
+            pooled = pool_fast(sargs)
+            # x-elongated: thin feature rows at oy, full stacked width
+            rows = (off_[:, None] + oyy[:, None]
+                    + jnp.arange(thin, dtype=jnp.float32)).astype(jnp.int32)
+            wb = stacked[jnp.clip(rows, 0, total_h - 1)]  # (m,thin,max_w,C)
+            ay_b = hat_matrix(sy_, my_, oyy, thin)
+            ax_b = hat_matrix(sx_, mx_, jnp.zeros_like(oyy), max_w)
+            pb = contract(ay_b, ax_b, wb, c_)
+            # y-elongated: thin column strips at ox = contiguous rows of
+            # the column-major twin, full level height
+            rows_t = (t2o[:, None] + oxx[:, None]
+                      + jnp.arange(thin, dtype=jnp.float32)).astype(
+                jnp.int32)
+            wc = t2[jnp.clip(rows_t, 0, t2.shape[0] - 1)]
+            # wc: (m, thin, long_y, C); contract y (big) then x (thin)
+            ay_c = hat_matrix(sy_, my_, jnp.zeros_like(oyy), long_y)
+            ax_c = hat_matrix(sx_, mx_, oxx, thin)
+            t = jnp.einsum("npy,ntyc->nptc", ay_c.astype(wc.dtype), wc,
+                           preferred_element_type=jnp.float32)
+            pc = jnp.einsum("nqt,nptc->npqc", ax_c, t) \
+                / c_[:, None, None, None]
+            po = jnp.where(fxx[:, None, None, None], pc, pb)
+            overflow = ~(fxx & fyy)
+            return jnp.where(overflow[:, None, None, None], po, pooled)
 
-        return jax.lax.cond(jnp.any(overflow), slow, lambda x: x, pooled)
+        m = args[0].shape[0]
+        if m > sub_chunk:
+            ns = m // sub_chunk     # chunk sizes are multiples of 64
+            sh = tuple(a.reshape((ns, sub_chunk) + a.shape[1:])
+                       for a in args)
+            return jax.lax.map(one, sh).reshape((m, p, p, c))
+        return one(args)
 
-    args = (sample_y, sample_x, mask_y, mask_x, oy, ox, lvl_off, cnt,
+    zeros_off = jnp.zeros_like(lvl_off)
+    args = (sample_y, sample_x, mask_y, mask_x, oy, ox, lvl_off,
+            t2_col_off if t2_col_off is not None else zeros_off, cnt,
             fit_x, fit_y)
     # chunk ROIs so the window transient stays bounded; sort so overflow
-    # ROIs cluster in the tail chunks (the cond then skips the overflow
-    # pass for chunks of ordinary ROIs)
+    # ROIs cluster in the tail chunks.  Dynamic branching is NOT an
+    # option: lax.cond inside lax.map executes both branches on TPU
+    # (measured: overflow-fraction-independent cost), so the partition is
+    # STATIC — the sorted tail quarter of chunks always runs the exact
+    # overflow passes, the head chunks only the square pass.  Exactness
+    # therefore holds for up to tail_budget overflowing ROIs (25% of the
+    # set, >= 1 chunk); any excess beyond the budget falls back to the
+    # square window.  Serving geometries measure 2-20% overflow.
     roi_chunk = 256
     pad_n = (-n) % sub_chunk if n <= roi_chunk else (-n) % roi_chunk
     if pad_n:
         # padded ROIs must read as in-window (fit=True) with cnt=1 so they
-        # neither trigger the overflow pass nor divide by zero
-        pad_vals = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, True, True)
+        # neither select the overflow result nor divide by zero
+        pad_vals = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0,
+                    True, True)
         args = tuple(
             jnp.pad(a, ((0, pad_n),) + ((0, 0),) * (a.ndim - 1),
                     constant_values=v)
             for a, v in zip(args, pad_vals))
     np_ = n + pad_n
+    nch = max(1, np_ // roi_chunk)
     perm = None
-    if not square_covers_all and np_ > roi_chunk:
-        overflow_all = ~(args[8] & args[9])
+    if square_covers_all:
+        n_tail = 0
+    elif np_ <= roi_chunk:
+        n_tail = 1
+    else:
+        n_tail = max(1, nch // 4)
+        overflow_all = ~(args[9] & args[10])
         perm = jnp.argsort(overflow_all)   # stable: non-overflow first
         args = tuple(a[perm] for a in args)
+
     if np_ <= roi_chunk:
-        out = pool_rois(args)
+        out = pool_slow(args) if n_tail else pool_fast(args)
     else:
-        nch = np_ // roi_chunk
         chunked = tuple(a.reshape((nch, roi_chunk) + a.shape[1:])
                         for a in args)
-        out = jax.lax.map(pool_rois, chunked).reshape((np_, p, p, c))
+        parts = []
+        if nch - n_tail > 0:
+            head = tuple(a[:nch - n_tail] for a in chunked)
+            parts.append(jax.lax.map(pool_fast, head))
+        if n_tail:
+            tail = tuple(a[nch - n_tail:] for a in chunked)
+            parts.append(jax.lax.map(pool_slow, tail))
+        out = jnp.concatenate(parts).reshape((np_, p, p, c))
     if perm is not None:
         out = out[jnp.argsort(perm)]
     out = out[:n].astype(feats[0].dtype).reshape(bsz, nroi, p, p, c)
