@@ -47,6 +47,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _use_pallas() -> bool:
+    """Square-pass windows via per-ROI DMA (kernels/roi_window.py) instead
+    of the XLA element gather.  Default on real TPU; PEANUT_ROI_PALLAS=0/1
+    overrides (numerics differ from the gather path only in summation
+    order)."""
+    flag = os.environ.get("PEANUT_ROI_PALLAS")
+    if flag is not None:
+        return flag == "1"
+    return jax.default_backend() == "tpu"
+
+
 def assign_fpn_levels(boxes, k_min: int = 2, k_max: int = 5,
                       canonical_size: float = 224.0, canonical_level: int = 4):
     """d2 assign_boxes_to_levels: level = floor(k0 + log2(sqrt(area)/224))."""
@@ -278,8 +289,29 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
         t = jnp.einsum("nqw,npwc->npqc", ax_, t)
         return t / cnt_[:, None, None, None]
 
+    # the kernel reshapes (win, win_x, C) -> (win, win_x*C), which Mosaic
+    # only lays out when C fills whole 128-lane registers (serving C=256)
+    use_pallas = _use_pallas() and c % 128 == 0
+    padded3 = None
+    if use_pallas:
+        # stacked buffer padded so row0+win / col0+win_x never run off the
+        # end (padding reads are inert: zero hat weight).  The kernel's
+        # col0 must be sublane-aligned (8), so the x window is 8 wider and
+        # origins round down — the extra columns carry zero hat weight.
+        padded3 = jnp.pad(stacked, ((0, win), (0, win + 8), (0, 0)))
+
     def pool_fast(args):
         sy, sx, my, mx, oy_, ox_, off_, _, cnt_, *_rest = args
+        if use_pallas:
+            from ..kernels.roi_window import roi_window_pool
+            ox_al = jnp.floor(ox_ / 8.0) * 8.0
+            ay = hat_matrix(sy, my, oy_, win)
+            ax = hat_matrix(sx, mx, ox_al, win + 8)
+            row0 = (oy_ + off_).astype(jnp.int32)
+            col0 = ox_al.astype(jnp.int32)
+            pooled = roi_window_pool(padded3, ay, ax, row0, col0,
+                                     win_y=win, win_x=win + 8)
+            return pooled / cnt_[:, None, None, None]
         ay = hat_matrix(sy, my, oy_, win)
         ax = hat_matrix(sx, mx, ox_, win)
         return contract(ay, ax, gather_window(oy_, ox_, off_, win, win),
