@@ -141,12 +141,51 @@ def bench_seg():
         float(detect_sum(bf16_vars, xs[i % 2]))
     dt = time.perf_counter() - t0
     fps = batch * iters / dt
+
+    # per-stage breakdown (VERDICT r2 item 6): separate jit per stage,
+    # same geometry — compile-cached alongside scripts/profile_maskrcnn.py
+    feat_fn = jax.jit(lambda v, x: model.apply(v, x,
+                                               method=model.features))
+    prop_fn = jax.jit(lambda v, py: model.apply(v, py, h, w,
+                                                method=model.proposals))
+    box_fn = jax.jit(lambda v, py, pr, s: model.apply(
+        v, py, pr, s, h, w, method=model.box_inference))
+    mask_fn = jax.jit(lambda v, py, b, c_: model.apply(
+        v, py, b, c_, method=model.mask_inference))
+
+    def t_stage(fn, *a):
+        out = fn(*a)
+        float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+        t1 = time.perf_counter()
+        for _ in range(4):
+            out = fn(*a)
+            float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+        return out, (time.perf_counter() - t1) / 4 * 1000
+
+    x0 = xs[0].astype(jnp.bfloat16)
+    pyramid, t_feat = t_stage(feat_fn, bf16_vars, x0)
+    (props, pscores), t_prop = t_stage(prop_fn, bf16_vars, pyramid)
+    (bxs, scs, cls), t_box = t_stage(box_fn, bf16_vars, pyramid, props,
+                                     pscores)
+    _, t_mask = t_stage(mask_fn, bf16_vars, pyramid, bxs, cls)
+
+    # analytic FLOP estimate (MACs*2) for an MFU denominator: R101-FPN
+    # backbone ~135 GF + FPN/RPN ~25 GF + box head (8*1000 ROIs * 13.9M
+    # MACs) + mask head (8*100 * ~510M MACs) + ROIAlign contractions
+    gflops = 135 + 25 + 2 * 8 * 1000 * 13.9e6 / 1e9 \
+        + 2 * 8 * 100 * 510e6 / 1e9 + 40
+    mfu = gflops * 1e9 / (dt / iters) / 197e12   # bf16 v5e peak
     return {
         "metric": "maskrcnn_r101_800x1088_frames_per_sec",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_SEG_FPS, 2),
         "batch": batch,
+        "stage_ms": {"backbone_fpn": round(t_feat, 1),
+                     "rpn_proposals": round(t_prop, 1),
+                     "box_head_roialign_nms": round(t_box, 1),
+                     "mask_head_roialign": round(t_mask, 1)},
+        "mfu_estimate": round(mfu, 4),
         "baseline_provenance": "detectron2-zoo mask_rcnn_R_101_FPN_3x V100 "
                                "(0.056 s/im = 17.9 img/s), not a measured "
                                "reference run",
