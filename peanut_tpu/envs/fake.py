@@ -22,7 +22,11 @@ class FakeNavEnv:
     FORWARD_M = 0.25
 
     def __init__(self, cfg: NavConfig, size_m: float = 12.0, seed: int = 0,
-                 max_steps: Optional[int] = None):
+                 max_steps: Optional[int] = None,
+                 objects_in_depth: bool = False,
+                 goal_min_dist: float = 3.0,
+                 goal_max_dist: Optional[float] = None,
+                 goal_line_of_sight: bool = False):
         self.cfg = cfg
         self.size = size_m
         self.rng = np.random.RandomState(seed)
@@ -30,6 +34,21 @@ class FakeNavEnv:
         self.n = int(size_m / self.res)
         self.max_steps = max_steps or cfg.max_episode_length
         self.episode_over = False
+        # objects_in_depth renders objects into the depth image at their
+        # true range (geometrically consistent: the mapper then places the
+        # goal at the object's position, as real RGB-D would).  Default off
+        # to keep the pinned golden-map observation stream byte-stable;
+        # the navigation-quality suite opts in.
+        self.objects_in_depth = objects_in_depth
+        # minimum straight-line spawn distance of the goal object; the
+        # quality suite lowers it so goals sit inside a small test map's
+        # vision range (CPU-affordable local maps)
+        self.goal_min_dist = goal_min_dist
+        self.goal_max_dist = goal_max_dist
+        # require an unobstructed ray from the start pose to the goal, so
+        # the episode tests see->map->plan->stop rather than exploration
+        # luck through random walls (the navigation-quality suite's mode)
+        self.goal_line_of_sight = goal_line_of_sight
         self._metrics = {}
 
     # ------------------------------------------------------------------
@@ -70,8 +89,14 @@ class FakeNavEnv:
             if self._occupied(gx, gy):
                 continue
             if not self.objects:
-                if np.hypot(gx - self.pose[0], gy - self.pose[1]) <= 3.0:
+                d0 = np.hypot(gx - self.pose[0], gy - self.pose[1])
+                if d0 <= self.goal_min_dist or \
+                        (self.goal_max_dist and d0 > self.goal_max_dist):
                     continue
+                if self.goal_line_of_sight:
+                    gang = np.arctan2(gy - self.pose[1], gx - self.pose[0])
+                    if self._raycast(np.array([gang]))[0] <= d0 - 0.1:
+                        continue
                 cat = goal_cat
             else:
                 cat = self.rng.randint(0, 9)
@@ -131,11 +156,20 @@ class FakeNavEnv:
                 ray_d = self._raycast(np.array([gang]))[0]
                 if ray_d > gdist - 0.1:  # not behind a wall
                     cw = max(3, int(0.4 / gdist * w / (2 * half)))
-                    gtsem[h // 3:2 * h // 3,
-                          max(0, col - cw):min(w, col + cw), cat] = 1.0
+                    c0, c1 = max(0, col - cw), min(w, col + cw)
+                    gtsem[h // 3:2 * h // 3, c0:c1, cat] = 1.0
                     color = (40 + 20 * cat, 200 - 15 * cat, 40)
-                    rgb[h // 3:2 * h // 3,
-                        max(0, col - cw):min(w, col + cw)] = color
+                    rgb[h // 3:2 * h // 3, c0:c1] = color
+                    if self.objects_in_depth:
+                        # perpendicular (pinhole) depth of the object's
+                        # pixels, so the splat maps it at its true range
+                        od = gdist * np.cos(rel)
+                        odn = np.clip((od - cfg.min_depth)
+                                      / (cfg.max_depth - cfg.min_depth),
+                                      0.0, 1.0)
+                        depth_img[h // 3:2 * h // 3, c0:c1, 0] = np.minimum(
+                            depth_img[h // 3:2 * h // 3, c0:c1, 0],
+                            np.float32(odn))
         goalseg = gtsem[:, :, goal_cat].copy()
 
         # habitat gps convention: x forward-ish, see peanut_agent.py:77-84

@@ -1,0 +1,106 @@
+"""Navigation-quality regression bar (VERDICT r2 item 4).
+
+A fixed-seed FakeNavEnv suite with reachable, *geometrically consistent*
+targets (objects rendered into depth at their true range, so the mapper
+places the goal where it actually is) must reach a committed success rate —
+a planner/kernel regression that degrades navigation FAILS a test instead
+of only shifting episode metrics nobody asserts on.  Also asserts
+batched == single end-of-episode metrics on a shared subset.
+
+Config notes: the goal must be mappable, i.e. inside vision_range when
+seen — so the suite spawns goals at 2.2-3.2 m with vision_range 60 cells
+(3.0 m).  The local map stays 120^2 (map_size_cm 1200 at downscaling 2,
+vision_range <= local/2), which keeps the per-tick FMM cheap enough for
+the 1-CPU test box — the 240^2 variant measured ~30 s/tick there.
+"""
+
+import numpy as np
+import pytest
+
+from peanut_tpu.agent import PeanutAgent
+from peanut_tpu.envs import FakeNavEnv
+from peanut_tpu.envs.batch_runner import BatchRunner
+
+from test_agent_e2e import small_cfg, tiny_prediction_model
+
+SEEDS = [3, 7, 11, 19, 23, 31, 42, 57]
+MAX_STEPS = 100
+
+
+def quality_cfg():
+    # goal_erode=0 + cat_pred_threshold=1: FakeNavEnv objects are flat
+    # billboards that splat 1-2 map cells deep, so the reference's 3-step
+    # erosion denoiser (tuned for real Mask R-CNN masks) would wipe every
+    # correctly-mapped goal; the suite measures navigation, not denoising
+    return small_cfg(use_gt_seg=1, vision_range=60,
+                     goal_erode=0, cat_pred_threshold=1.0,
+                     max_episode_length=MAX_STEPS + 10,
+                     timestep_limit=MAX_STEPS + 10)
+
+
+def make_env(cfg, seed):
+    # band 2.0-2.8 m keeps the goal inside the 3.0 m mapping range
+    # (vision_range 60 cells) once seen; line-of-sight spawns make the
+    # bar measure see->map->plan->stop, not wall-exploration luck
+    return FakeNavEnv(cfg, size_m=8.0, seed=seed, max_steps=MAX_STEPS,
+                      objects_in_depth=True, goal_min_dist=2.0,
+                      goal_max_dist=2.8, goal_line_of_sight=True)
+
+
+def run_single(cfg, pm, seed):
+    env = make_env(cfg, seed)
+    agent = PeanutAgent(cfg, prediction_model=pm)
+    obs = env.reset()
+    agent.reset()
+    for _ in range(MAX_STEPS + 4):
+        a = agent.act(obs)
+        obs = env.step(a)
+        if env.episode_over:
+            return env.get_metrics()
+    return env.get_metrics()
+
+
+# committed bar: measured 2026-08-17 on the seeds above (see the probe
+# numbers recorded in the commit adding this file); update only with a
+# written justification in the commit message
+SUCCESS_BAR = 0.75
+SPL_BAR = 0.3
+
+
+@pytest.mark.slow
+def test_navigation_success_bar():
+    cfg = quality_cfg()
+    pm = tiny_prediction_model(cfg)
+    runner = BatchRunner(
+        cfg, [lambda s=s: make_env(cfg, s) for s in SEEDS],
+        prediction_model=pm)
+    runner.run(max_ticks=MAX_STEPS + 4, max_episodes=len(SEEDS))
+    metrics = runner.metrics[:len(SEEDS)]
+    assert len(metrics) >= len(SEEDS)
+    succ = float(np.mean([m.get("success", 0.0) for m in metrics]))
+    spl = float(np.mean([m.get("spl", 0.0) for m in metrics]))
+    assert succ >= SUCCESS_BAR, (
+        f"success {succ:.2f} < bar {SUCCESS_BAR}: "
+        f"{[m.get('success') for m in metrics]}")
+    assert spl >= SPL_BAR, f"spl {spl:.3f} < bar {SPL_BAR}"
+
+
+@pytest.mark.slow
+def test_batched_runner_matches_single_metrics():
+    """BatchRunner episode metrics == single-agent metrics on the same
+    seeds (the batched runtime is an implementation detail)."""
+    cfg = quality_cfg()
+    pm = tiny_prediction_model(cfg)
+    seeds = SEEDS[:4]
+    singles = {s: run_single(cfg, pm, s) for s in seeds}
+
+    runner = BatchRunner(
+        cfg, [lambda s=s: make_env(cfg, s) for s in seeds],
+        prediction_model=pm)
+    runner.run(max_ticks=MAX_STEPS + 4, max_episodes=len(seeds))
+    assert len(runner.metrics) >= len(seeds)
+    batched_succ = sorted(m.get("success", 0.0)
+                          for m in runner.metrics[:len(seeds)])
+    single_succ = sorted(m.get("success", 0.0) for m in singles.values())
+    assert batched_succ == single_succ, (
+        f"batched {batched_succ} vs single {single_succ}")
