@@ -204,7 +204,8 @@ def bench_env_steps(n_envs: int = 16, ticks: int = 60):
     from peanut_tpu.perception.mask_rcnn_segmenter import MaskRCNNSegmenter
     from peanut_tpu.models.mask_rcnn import MaskRCNN
 
-    cfg = NavConfig(use_gt_seg=0, exact_parity=False, serve_bf16=True)
+    cfg = NavConfig(use_gt_seg=0, exact_parity=False, serve_bf16=True,
+                    dd_downscale=2)
     pm = PredictionModel(cfg)  # full PSPNet-R50 at 720^2 (random weights)
     model = MaskRCNN(num_classes=cfg.num_sem_categories - 1)
     img = jnp.zeros((800, 1088, 3), jnp.float32)

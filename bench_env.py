@@ -45,7 +45,7 @@ def main():
     # fast compute paths (dense splat, windowed warp); exact_parity stays
     # available for bit-comparable map collection
     cfg = NavConfig(use_gt_seg=1 if ns.gt_seg else 0, exact_parity=False,
-                    serve_bf16=True)
+                    serve_bf16=True, dd_downscale=2)
     pm = PredictionModel(cfg)  # full PSPNet-R50 at 720^2 (random weights)
 
     segmenter = None
@@ -69,10 +69,13 @@ def main():
          range(ns.envs)],
         prediction_model=pm, segmenter=segmenter)
 
-    # warmup (compile all tick programs)
+    # warmup (compile all tick programs, incl. the data-dependent replan /
+    # magnify programs, which otherwise compile inside a measured tick)
     runner.reset_all()
     for _ in range(3):
         runner.tick()
+    runner.runtime.warmup_rare_paths()
+    runner.runtime.timer.samples.clear()   # report steady state only
 
     t0 = time.perf_counter()
     for _ in range(ns.ticks):

@@ -334,8 +334,25 @@ class BatchedNavRuntime:
                 src = jnp.zeros_like(full_sub[:, 0])
                 src = jax.vmap(lambda s, r, c: s.at[r, c].set(1.0))(
                     src, agent_r, agent_c)
-                dd = eikonal_distance(trav, src, n_iters=cfg.fmm_sweeps)
-                dd = masked_fill_unreachable(dd)
+                ds = int(getattr(cfg, "dd_downscale", 1))
+                if ds > 1 and self.Hf % ds == 0 and self.Wf % ds == 0:
+                    # serving-profile approximation (PARITY.md): solve the
+                    # goal-weighting field on an OR-pooled half-res grid
+                    # (walls are col_rad-dilated, so pooling keeps them)
+                    # and upsample nearest — the field only feeds
+                    # exp(-dd/temperature), temperature ~100 cells.
+                    # Mirrors agent/state.py::update_global_goal.
+                    pool = lambda x: jax.lax.reduce_window(
+                        x.astype(jnp.float32), -jnp.inf, jax.lax.max,
+                        (1, ds, ds), (1, ds, ds), "VALID")
+                    dd = eikonal_distance(pool(trav) > 0, pool(src) > 0,
+                                          n_iters=cfg.fmm_sweeps) * ds
+                    dd = masked_fill_unreachable(dd)
+                    dd = jnp.repeat(jnp.repeat(dd, ds, axis=1), ds, axis=2)
+                else:
+                    dd = eikonal_distance(trav, src,
+                                          n_iters=cfg.fmm_sweeps)
+                    dd = masked_fill_unreachable(dd)
                 mx = jnp.max(dd, axis=(1, 2), keepdims=True)
                 dd = jnp.where(dd == mx, jnp.inf, dd)
                 dd_wt_full = jnp.exp(-dd / temperature)

@@ -316,8 +316,25 @@ class NavAgentState:
         sources[np.clip(self.loc_r + self.lmb[0], 0, self.full_w - 1),
                 np.clip(self.loc_c + self.lmb[2], 0, self.full_h - 1)] = 1
 
-        dd = np.array(masked_fill_unreachable(
-            eikonal_distance(trav, sources, n_iters=cfg.fmm_sweeps)))
+        ds = int(getattr(cfg, "dd_downscale", 1))
+        if ds > 1 and trav.shape[0] % ds == 0 and trav.shape[1] % ds == 0:
+            # serving-profile approximation (PARITY.md): the geodesic field
+            # only feeds exp(-dd/temperature) goal weighting (temperature =
+            # 100 cells at challenge geometry), so solve it on an OR-pooled
+            # half-resolution grid (walls are col_rad-dilated first, so
+            # they survive the pooling) and upsample nearest.  The ~1-2
+            # cell error perturbs weights by <~2%.
+            h2, w2 = trav.shape[0] // ds, trav.shape[1] // ds
+            trav_s = trav[:h2 * ds, :w2 * ds].reshape(
+                h2, ds, w2, ds).max(axis=(1, 3))
+            src_s = sources[:h2 * ds, :w2 * ds].reshape(
+                h2, ds, w2, ds).max(axis=(1, 3))
+            dd_s = np.array(masked_fill_unreachable(eikonal_distance(
+                trav_s, src_s, n_iters=cfg.fmm_sweeps))) * ds
+            dd = np.repeat(np.repeat(dd_s, ds, axis=0), ds, axis=1)
+        else:
+            dd = np.array(masked_fill_unreachable(
+                eikonal_distance(trav, sources, n_iters=cfg.fmm_sweeps)))
         dd[dd == np.max(dd)] = np.inf
 
         temperature = cfg.dist_weight_temperature / cfg.map_resolution

@@ -96,6 +96,11 @@ class NavConfig:
     seg_batch_chunk: int = 8     # Mask R-CNN frames per detect program
                                  # (bounds HBM; 16-env runs use 2 chunks)
     fmm_sweeps: int = 2          # fast-sweeping iterations for eikonal solve
+    dd_downscale: int = 1        # goal-weighting geodesic field resolution
+                                 # divisor; 2 = serving profile (solve the
+                                 # exp(-dd/T) weighting field on an OR-
+                                 # pooled half-res grid, ~4x cheaper; the
+                                 # local planning solve is never downscaled)
     platform: Optional[str] = None  # force jax platform (tests use "cpu")
 
     # ------------------------------------------------------------------

@@ -162,3 +162,54 @@ def test_mesh_sharded_runtime_matches_unsharded():
     mesh = make_mesh({"data": len(jax.devices())})
     sharded = rollout(mesh)
     assert plain == sharded
+
+
+@pytest.mark.slow
+def test_batched_matches_single_dd_downscale():
+    """dd_downscale=2 (serving profile: half-res goal-weighting geodesic
+    field) must produce identical actions in the single-env agent and the
+    fused tick — both paths pool/solve/upsample the same way."""
+    cfg = small_cfg()
+    cfg.dd_downscale = 2
+    n = 2
+    seeds = [7, 31]
+    steps = 15
+    pm = tiny_prediction_model(cfg)
+
+    single_actions = []
+    for seed in seeds:
+        env = FakeNavEnv(cfg, size_m=12.0, seed=seed, max_steps=steps + 5)
+        agent = PeanutAgent(cfg, prediction_model=pm)
+        obs = env.reset()
+        agent.reset()
+        acts = []
+        for _ in range(steps):
+            a = agent.act(obs)
+            acts.append(a["action"])
+            obs = env.step(a)
+            if env.episode_over:
+                break
+        single_actions.append(acts)
+
+    envs = [FakeNavEnv(cfg, size_m=12.0, seed=s, max_steps=steps + 5)
+            for s in seeds]
+    runtime = BatchedNavRuntime(cfg, n, prediction_model=pm)
+    obs = [e.reset() for e in envs]
+    for i in range(n):
+        runtime.reset_env(i)
+    batched_actions = [[] for _ in range(n)]
+    done = [False] * n
+    for _ in range(steps):
+        acts = runtime.act_batch(obs)
+        for i in range(n):
+            if not done[i]:
+                batched_actions[i].append(acts[i]["action"])
+                obs[i] = envs[i].step(acts[i])
+                if envs[i].episode_over:
+                    done[i] = True
+
+    for i in range(n):
+        k = min(len(single_actions[i]), len(batched_actions[i]))
+        assert batched_actions[i][:k] == single_actions[i][:k], (
+            f"env {i}: single={single_actions[i][:k]} "
+            f"batched={batched_actions[i][:k]}")
