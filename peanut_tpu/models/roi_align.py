@@ -293,12 +293,20 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     # only lays out when C fills whole 128-lane registers (serving C=256)
     use_pallas = _use_pallas() and c % 128 == 0
     padded3 = None
+    thin8 = _ceil8(thin)
+    winx_long = _ceil8(fin_w + 2) + 8     # x-support bound of any ROI
     if use_pallas:
         # stacked buffer padded so row0+win / col0+win_x never run off the
         # end (padding reads are inert: zero hat weight).  The kernel's
         # col0 must be sublane-aligned (8), so the x window is 8 wider and
         # origins round down — the extra columns carry zero hat weight.
-        padded3 = jnp.pad(stacked, ((0, win), (0, win + 8), (0, 0)))
+        pad_r = max(win, thin8)
+        pad_c = max(win + 8, winx_long)
+        padded3 = jnp.pad(stacked, ((0, pad_r), (0, pad_c), (0, 0)))
+    t2pad = None
+    if use_pallas and t2_col_off is not None:
+        # row-padded twin for the y-elongated rectangular windows
+        t2pad = jnp.pad(t2, ((0, thin8), (0, 0), (0, 0)))
 
     def pool_fast(args):
         sy, sx, my, mx, oy_, ox_, off_, _, cnt_, *_rest = args
@@ -327,26 +335,52 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
         def one(sargs):
             sy_, sx_, my_, mx_, oyy, oxx, off_, t2o, c_, fxx, fyy = sargs
             pooled = pool_fast(sargs)
-            # x-elongated: thin feature rows at oy, full stacked width
-            rows = (off_[:, None] + oyy[:, None]
-                    + jnp.arange(thin, dtype=jnp.float32)).astype(jnp.int32)
-            wb = stacked[jnp.clip(rows, 0, total_h - 1)]  # (m,thin,max_w,C)
-            ay_b = hat_matrix(sy_, my_, oyy, thin)
-            ax_b = hat_matrix(sx_, mx_, jnp.zeros_like(oyy), max_w)
-            pb = contract(ay_b, ax_b, wb, c_)
-            # y-elongated: thin column strips at ox = contiguous rows of
-            # the column-major twin, full level height
-            rows_t = (t2o[:, None] + oxx[:, None]
-                      + jnp.arange(thin, dtype=jnp.float32)).astype(
-                jnp.int32)
-            wc = t2[jnp.clip(rows_t, 0, t2.shape[0] - 1)]
-            # wc: (m, thin, long_y, C); contract y (big) then x (thin)
-            ay_c = hat_matrix(sy_, my_, jnp.zeros_like(oyy), long_y)
-            ax_c = hat_matrix(sx_, mx_, oxx, thin)
-            t = jnp.einsum("npy,ntyc->nptc", ay_c.astype(wc.dtype), wc,
-                           preferred_element_type=jnp.float32)
-            pc = jnp.einsum("nqt,nptc->npqc", ax_c, t) \
-                / c_[:, None, None, None]
+            if use_pallas:
+                from ..kernels.roi_window import roi_window_pool
+                # x-elongated: (thin8, winx_long) rectangular DMA window —
+                # the x-support of ANY ROI is <= fin_w + 2 cells, so the
+                # window starts at the ROI's own x-origin instead of
+                # contracting against the full stacked width
+                ox_al = jnp.floor(oxx / 8.0) * 8.0
+                ay_b = hat_matrix(sy_, my_, oyy, thin8)
+                ax_b = hat_matrix(sx_, mx_, ox_al, winx_long)
+                pb = roi_window_pool(
+                    padded3, ay_b, ax_b, (oyy + off_).astype(jnp.int32),
+                    ox_al.astype(jnp.int32), win_y=thin8, win_x=winx_long
+                ) / c_[:, None, None, None]
+                # y-elongated on the column-major twin: rows are x cells
+                # (origin t2o + ox), cols are the full level height long_y
+                # (origin 0, 8-aligned by construction); the kernel output
+                # is (n, p_x, p_y, c) -> transpose
+                ay_c = hat_matrix(sx_, mx_, oxx, thin8)
+                ax_c = hat_matrix(sy_, my_, jnp.zeros_like(oyy), long_y)
+                pc = roi_window_pool(
+                    t2pad, ay_c, ax_c, (t2o + oxx).astype(jnp.int32),
+                    jnp.zeros_like(oyy, jnp.int32), win_y=thin8,
+                    win_x=long_y).transpose(0, 2, 1, 3) \
+                    / c_[:, None, None, None]
+            else:
+                # x-elongated: thin feature rows at oy, full stacked width
+                rows = (off_[:, None] + oyy[:, None]
+                        + jnp.arange(thin, dtype=jnp.float32)).astype(
+                    jnp.int32)
+                wb = stacked[jnp.clip(rows, 0, total_h - 1)]
+                ay_b = hat_matrix(sy_, my_, oyy, thin)
+                ax_b = hat_matrix(sx_, mx_, jnp.zeros_like(oyy), max_w)
+                pb = contract(ay_b, ax_b, wb, c_)
+                # y-elongated: thin column strips at ox = contiguous rows
+                # of the column-major twin, full level height
+                rows_t = (t2o[:, None] + oxx[:, None]
+                          + jnp.arange(thin, dtype=jnp.float32)).astype(
+                    jnp.int32)
+                wc = t2[jnp.clip(rows_t, 0, t2.shape[0] - 1)]
+                # wc: (m, thin, long_y, C); contract y (big) then x (thin)
+                ay_c = hat_matrix(sy_, my_, jnp.zeros_like(oyy), long_y)
+                ax_c = hat_matrix(sx_, mx_, oxx, thin)
+                t = jnp.einsum("npy,ntyc->nptc", ay_c.astype(wc.dtype), wc,
+                               preferred_element_type=jnp.float32)
+                pc = jnp.einsum("nqt,nptc->npqc", ax_c, t) \
+                    / c_[:, None, None, None]
             po = jnp.where(fxx[:, None, None, None], pc, pb)
             overflow = ~(fxx & fyy)
             return jnp.where(overflow[:, None, None, None], po, pooled)
