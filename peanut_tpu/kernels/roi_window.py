@@ -10,6 +10,14 @@ buffering the next ROI's HBM->VMEM window copy behind the current ROI's two
 hat-matrix contractions (pooled = A_y @ W @ A_x^T, exactly roi_align.py::
 contract without the final /cnt, which the caller applies).
 
+A grid step processes ``lanes`` ROIs (auto-sized to the VMEM budget): the
+per-step fixed cost (index prefetch, branch setup, DMA issue latency) is
+several times the ~1 us window copy + two small-M contractions, so
+amortizing it over 4 ROIs per step roughly halves the box-stage ROIAlign
+time at the serving geometry.  All ``lanes`` window copies of a step are
+in flight concurrently, and the NEXT step's copies are still prefetched
+behind the current step's compute (double buffering, 2x``lanes`` buffers).
+
 Replaces the hot path of detectron2's CUDA ROIAlignV2 (reference:
 detectron2 ROIAlign, used at nav/agent/utils/segmentation.py:38 via
 DefaultPredictor).  Numerics match the gather formulation up to float
@@ -25,15 +33,32 @@ never run off the end (padding reads are likewise inert).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# VMEM spent on window double-buffers; v5e has 16 MiB less program scratch
+_WBUF_BUDGET = 8 * 1024 * 1024
+# lane default: "1" = single-ROI steps (hardware-validated round 2);
+# "auto" = multi-lane (numerics proven in interpret mode; flips to default
+# once the multi-lane program is compile-validated on the real chip)
+_DEFAULT_LANES = "1"
 
-def _kernel(row0_ref, col8_ref, flat_ref, ay_ref, ax_ref, out_ref,
-            wbuf, sems, *, win_y: int, win_x: int, p: int, c: int):
+
+def _contract(ay, ax, w, win_y, win_x, p, c):
+    w = w.reshape(win_y, win_x * c)
+    t = jnp.dot(ay.astype(w.dtype), w, preferred_element_type=jnp.float32)
+    t = t.reshape(p, win_x, c).transpose(1, 0, 2).reshape(win_x, p * c)
+    o = jnp.dot(ax, t, preferred_element_type=jnp.float32)
+    return o.reshape(p, p, c).transpose(1, 0, 2)         # (p_y, p_x, c)
+
+
+def _kernel1(row0_ref, col8_ref, flat_ref, ay_ref, ax_ref, out_ref,
+             wbuf, sems, *, win_y: int, win_x: int, p: int, c: int):
+    """Single-ROI grid step (the round-2 hardware-validated program)."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -56,13 +81,59 @@ def _kernel(row0_ref, col8_ref, flat_ref, ay_ref, ax_ref, out_ref,
 
     slot = i % 2
     copy(i, slot).wait()
+    out_ref[0] = _contract(ay_ref[0], ax_ref[0], wbuf[slot],
+                           win_y, win_x, p, c)
 
-    w = wbuf[slot].reshape(win_y, win_x * c)
-    ay = ay_ref[0].astype(w.dtype)                       # (p, win_y)
-    t = jnp.dot(ay, w, preferred_element_type=jnp.float32)
-    t = t.reshape(p, win_x, c).transpose(1, 0, 2).reshape(win_x, p * c)
-    o = jnp.dot(ax_ref[0], t, preferred_element_type=jnp.float32)
-    out_ref[0] = o.reshape(p, p, c).transpose(1, 0, 2)   # (p_y, p_x, c)
+
+def _kernel(row0_ref, col8_ref, flat_ref, ay_ref, ax_ref, out_ref,
+            wbuf, sems, *, win_y: int, win_x: int, p: int, c: int, k: int):
+    """k-ROIs-per-step variant: all k window copies of a step are in
+    flight concurrently and the NEXT step's copies prefetch behind this
+    step's contractions (2 x k double buffering)."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def copy(j, slot, kk):
+        return pltpu.make_async_copy(
+            flat_ref.at[pl.ds(row0_ref[j * k + kk], win_y),
+                        pl.ds(col8_ref[j * k + kk] * 8, win_x), :],
+            wbuf.at[slot, kk], sems.at[slot, kk])
+
+    @pl.when(i == 0)
+    def _():
+        for kk in range(k):
+            copy(0, 0, kk).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for kk in range(k):
+            copy(i + 1, (i + 1) % 2, kk).start()
+
+    slot = i % 2
+    for kk in range(k):
+        copy(i, slot, kk).wait()
+        out_ref[kk] = _contract(ay_ref[kk], ax_ref[kk], wbuf[slot, kk],
+                                win_y, win_x, p, c)
+
+
+def _pick_lanes(n: int, win_y: int, win_x: int, c: int,
+                itemsize: int) -> int:
+    """Largest lane count (1/2/4/8) dividing n whose 2x double-buffered
+    windows fit the VMEM budget.
+
+    PEANUT_ROI_LANES overrides: an integer forces that lane count (1
+    disables multi-lane), "auto" picks the largest fitting the budget.
+    Default is auto once validated on hardware; see _DEFAULT_LANES."""
+    env = os.environ.get("PEANUT_ROI_LANES", _DEFAULT_LANES)
+    if env != "auto":
+        forced = int(env)
+        return forced if n % forced == 0 else 1
+    k = 1
+    for cand in (2, 4, 8):
+        if n % cand == 0 and \
+                2 * cand * win_y * win_x * c * itemsize <= _WBUF_BUDGET:
+            k = cand
+    return k
 
 
 @functools.partial(jax.jit,
@@ -85,22 +156,30 @@ def roi_window_pool(flat_padded, ay, ax, row0, col0, *, win_y: int,
     """
     n, p, _ = ay.shape
     c = flat_padded.shape[-1]
+    k = _pick_lanes(n, win_y, win_x, c, flat_padded.dtype.itemsize)
+    if k == 1:
+        body = functools.partial(_kernel1, win_y=win_y, win_x=win_x,
+                                 p=p, c=c)
+        scratch = [pltpu.VMEM((2, win_y, win_x, c), flat_padded.dtype),
+                   pltpu.SemaphoreType.DMA((2,))]
+    else:
+        body = functools.partial(_kernel, win_y=win_y, win_x=win_x,
+                                 p=p, c=c, k=k)
+        scratch = [pltpu.VMEM((2, k, win_y, win_x, c), flat_padded.dtype),
+                   pltpu.SemaphoreType.DMA((2, k))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n,),
+        grid=(n // k,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, p, win_y), lambda i, r0, c0: (i, 0, 0)),
-            pl.BlockSpec((1, p, win_x), lambda i, r0, c0: (i, 0, 0)),
+            pl.BlockSpec((k, p, win_y), lambda i, r0, c0: (i, 0, 0)),
+            pl.BlockSpec((k, p, win_x), lambda i, r0, c0: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, p, p, c), lambda i, r0, c0: (i, 0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, win_y, win_x, c), flat_padded.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=pl.BlockSpec((k, p, p, c), lambda i, r0, c0: (i, 0, 0, 0)),
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        functools.partial(_kernel, win_y=win_y, win_x=win_x, p=p, c=c),
+        body,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, p, p, c), jnp.float32),
         interpret=interpret,

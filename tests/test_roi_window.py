@@ -36,6 +36,28 @@ def test_roi_window_pool_matches_einsum():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_roi_window_pool_multilane(monkeypatch):
+    """n divisible by 4 -> the kernel packs 4 ROIs per grid step."""
+    monkeypatch.setenv("PEANUT_ROI_LANES", "auto")
+    rng = np.random.default_rng(2)
+    win_y, win_x, p, c, n = 16, 16, 7, 128, 8
+    hp, wp = 64, 48
+    flat = rng.standard_normal((hp, wp, c)).astype(np.float32)
+    ay = rng.standard_normal((n, p, win_y)).astype(np.float32)
+    ax = rng.standard_normal((n, p, win_x)).astype(np.float32)
+    row0 = rng.integers(0, hp - win_y, n).astype(np.int32)
+    col0 = (rng.integers(0, (wp - win_x) // 8, n) * 8).astype(np.int32)
+
+    from peanut_tpu.kernels import roi_window
+    assert roi_window._pick_lanes(n, win_y, win_x, c, 4) >= 4
+    got = np.asarray(roi_window_pool(jnp.asarray(flat), jnp.asarray(ay),
+                                     jnp.asarray(ax), jnp.asarray(row0),
+                                     jnp.asarray(col0), win_y=win_y,
+                                     win_x=win_x, interpret=True))
+    want = _reference(flat, ay, ax, row0, col0, win_y, win_x)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_roi_window_pool_bf16_inputs():
     rng = np.random.default_rng(1)
     win, p, c, n = 8, 4, 128, 3
