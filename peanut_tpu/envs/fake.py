@@ -26,7 +26,8 @@ class FakeNavEnv:
                  objects_in_depth: bool = False,
                  goal_min_dist: float = 3.0,
                  goal_max_dist: Optional[float] = None,
-                 goal_line_of_sight: bool = False):
+                 goal_line_of_sight: bool = False,
+                 goal_unique: bool = False):
         self.cfg = cfg
         self.size = size_m
         self.rng = np.random.RandomState(seed)
@@ -49,6 +50,11 @@ class FakeNavEnv:
         # the episode tests see->map->plan->stop rather than exploration
         # luck through random walls (the navigation-quality suite's mode)
         self.goal_line_of_sight = goal_line_of_sight
+        # exclude distractors of the goal's category: success here is
+        # distance to THE goal object, so a same-category distractor makes
+        # a correct category-level stop read as failure (real ObjectNav
+        # counts any instance).  Default off for byte-stable pinned streams.
+        self.goal_unique = goal_unique
         self._metrics = {}
 
     # ------------------------------------------------------------------
@@ -100,6 +106,8 @@ class FakeNavEnv:
                 cat = goal_cat
             else:
                 cat = self.rng.randint(0, 9)
+                if self.goal_unique and cat == goal_cat:
+                    continue
             self.objects.append((gx, gy, cat))
         self.goal_pos = np.array([self.objects[0][0], self.objects[0][1]])
         return self._obs()

@@ -85,6 +85,50 @@ def test_navigation_success_bar():
     assert spl >= SPL_BAR, f"spl {spl:.3f} < bar {SPL_BAR}"
 
 
+EXPLORE_MAX_STEPS = 160
+# committed bar: measured 2026-08-18 on the seeds above with goal_unique
+# spawns (success [1,1,1,1,1,0,0,0] = 0.625, spl 0.539; the two 160-step
+# failures never encounter the goal — exploration in a random walled world
+# with a random-weight prediction net).  0.5 tolerates one benign episode
+# flip from future numerics changes; a two-episode regression fails.
+EXPLORE_SUCCESS_BAR = 0.5
+EXPLORE_SPL_BAR = 0.3
+
+
+@pytest.mark.slow
+def test_navigation_exploration_bar():
+    """Exploration-required tier: goals spawn WITHOUT line of sight, so the
+    episode exercises goal selection / frontier exploration / replanning —
+    the prediction-driven half of the agent the line-of-sight tier skips.
+    goal_unique excludes same-category distractors (stopping at one is a
+    correct category-level find that this env's THE-goal-distance success
+    would misread as failure)."""
+    cfg = small_cfg(use_gt_seg=1, vision_range=60,
+                    goal_erode=0, cat_pred_threshold=1.0,
+                    max_episode_length=EXPLORE_MAX_STEPS + 10,
+                    timestep_limit=EXPLORE_MAX_STEPS + 10)
+    pm = tiny_prediction_model(cfg)
+
+    def env(seed):
+        return FakeNavEnv(cfg, size_m=8.0, seed=seed,
+                          max_steps=EXPLORE_MAX_STEPS,
+                          objects_in_depth=True, goal_min_dist=2.0,
+                          goal_max_dist=3.2, goal_line_of_sight=False,
+                          goal_unique=True)
+
+    runner = BatchRunner(cfg, [lambda s=s: env(s) for s in SEEDS],
+                         prediction_model=pm)
+    runner.run(max_ticks=EXPLORE_MAX_STEPS + 4, max_episodes=len(SEEDS))
+    metrics = runner.metrics[:len(SEEDS)]
+    assert len(metrics) >= len(SEEDS)
+    succ = float(np.mean([m.get("success", 0.0) for m in metrics]))
+    spl = float(np.mean([m.get("spl", 0.0) for m in metrics]))
+    assert succ >= EXPLORE_SUCCESS_BAR, (
+        f"exploration success {succ:.2f} < bar {EXPLORE_SUCCESS_BAR}: "
+        f"{[m.get('success') for m in metrics]}")
+    assert spl >= EXPLORE_SPL_BAR, f"spl {spl:.3f} < bar {EXPLORE_SPL_BAR}"
+
+
 @pytest.mark.slow
 def test_batched_runner_matches_single_metrics():
     """BatchRunner episode metrics == single-agent metrics on the same
