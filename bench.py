@@ -169,11 +169,13 @@ def bench_seg():
                                      pscores)
     _, t_mask = t_stage(mask_fn, bf16_vars, pyramid, bxs, cls)
 
-    # analytic FLOP estimate (MACs*2) for an MFU denominator: R101-FPN
-    # backbone ~135 GF + FPN/RPN ~25 GF + box head (8*1000 ROIs * 13.9M
-    # MACs) + mask head (8*100 * ~510M MACs) + ROIAlign contractions
-    gflops = 135 + 25 + 2 * 8 * 1000 * 13.9e6 / 1e9 \
-        + 2 * 8 * 100 * 510e6 / 1e9 + 40
+    # analytic FLOP estimate (MACs*2) for an MFU denominator, all terms
+    # PER BATCH of 8 images: R101-FPN backbone ~135 GF/img + FPN/RPN
+    # ~25 GF/img + ROIAlign contractions ~40 GF/img, + box head
+    # (1000 ROIs/img x 13.9M MACs) + mask head (100/img x ~510M MACs)
+    gflops = batch * (135 + 25 + 40) \
+        + 2 * batch * 1000 * 13.9e6 / 1e9 \
+        + 2 * batch * 100 * 510e6 / 1e9
     mfu = gflops * 1e9 / (dt / iters) / 197e12   # bf16 v5e peak
     return {
         "metric": "maskrcnn_r101_800x1088_frames_per_sec",

@@ -386,7 +386,7 @@ def _clip_big_image(image_path, save_dir, clip_size, stride_size, stem,
                  osp.join(save_dir, f"{stem}_{x0}_{y0}_{x1}_{y1}.png"))
 
 
-def _isprs_walk(args, splits, stem_of):
+def _isprs_walk(args, splits, stem_of, label_key):
     out_dir = args.out_dir
     for sub in ("img_dir", "ann_dir"):
         for sp in ("train", "val"):
@@ -400,13 +400,14 @@ def _isprs_walk(args, splits, stem_of):
                 srcs = glob.glob(osp.join(sub, "*.tif"))
             # upstream deletes the unused area9 ground truth only
             srcs = [s for s in srcs
-                    if not ("label" in s and stem_of(s) == "area9")]
+                    if not (label_key in s and stem_of(s) == "area9")]
             for src in srcs:
                 stem = stem_of(src)
                 split = "train" if stem in splits["train"] else "val"
-                # full-path check, as upstream: vaihingen GT tifs carry no
-                # 'label' in the basename, only in the archive subdir
-                to_label = "label" in src
+                # full-path GT check, keyed per dataset like upstream:
+                # potsdam GT basenames carry '_label', vaihingen GT tifs
+                # carry '_noBoundary' (potsdam.py:143, vaihingen.py:140)
+                to_label = label_key in src
                 sub = "ann_dir" if to_label else "img_dir"
                 _clip_big_image(src, osp.join(out_dir, sub, split),
                                 args.clip_size, args.stride_size, stem,
@@ -416,12 +417,14 @@ def _isprs_walk(args, splits, stem_of):
 
 def dataset_potsdam(args):
     _isprs_walk(args, POTSDAM_SPLITS,
-                lambda p: "_".join(osp.basename(p).split("_")[2:4]))
+                lambda p: "_".join(osp.basename(p).split("_")[2:4]),
+                label_key="label")
 
 
 def dataset_vaihingen(args):
     _isprs_walk(args, VAIHINGEN_SPLITS,
-                lambda p: osp.basename(p).split("_")[3].split(".")[0])
+                lambda p: osp.basename(p).split("_")[3].split(".")[0],
+                label_key="noBoundary")
 
 
 # ----------------------------------------------------------------------

@@ -127,8 +127,9 @@ class MaskRCNN(nn.Module):
     # heads see a real batch dim (straight to batched convs/matmuls on the
     # MXU), ROIAlign pools all B*N ROIs from ONE stacked buffer, and only
     # the per-image NMS selections run under vmap.  Wrapping detect() in an
-    # outer vmap instead would flatten ROIAlign's overflow lax.cond into
-    # always-executed selects (see roi_align.py) — don't.
+    # outer vmap instead would break ROIAlign's global overflow sort (the
+    # static head/tail chunk partition must see ALL ROIs, see roi_align.py)
+    # and vmap the batched-NMS layout poorly — don't.
     # ------------------------------------------------------------------
     def features(self, images):
         """images: (B, H, W, 3) float32, BGR minus pixel mean, padded /32."""

@@ -32,9 +32,10 @@ overflow the square window on at most ONE axis, and on that ROI the other
 axis is provably thin (< AREA_BOUND / (win-3) cells).  Three static window
 shapes cover every ROI exactly: square (common case), thin-rows x
 full-width (x-elongated), and full-height x thin-cols (y-elongated).  The
-overflow pass is guarded by a per-chunk ``lax.cond`` and ROIs are sorted so
-overflowing ones cluster in the tail chunks — chunks of ordinary ROIs pay
-only the square pass.
+ROIs are globally sorted so overflowing ones cluster in the tail chunks and
+the two rectangular passes run on a STATIC tail fraction of chunks (a
+per-chunk ``lax.cond`` would execute both branches on TPU — measured);
+chunks of ordinary ROIs pay only the square pass (``n_tail`` below).
 """
 
 from __future__ import annotations

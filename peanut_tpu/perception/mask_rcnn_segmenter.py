@@ -72,8 +72,8 @@ class MaskRCNNSegmenter:
 
         @jax.jit
         def _detect_batch(variables, imgs):
-            # natively batched (NOT vmap of detect): keeps ROIAlign's
-            # overflow lax.cond a real branch, see models/mask_rcnn.py
+            # natively batched (NOT vmap of detect): ROIAlign's overflow
+            # sort must see all B*N ROIs at once, see models/mask_rcnn.py
             det = self.model.apply(variables, imgs.astype(serve_dtype),
                                    method=self.model.detect_batch)
             return _to_f32(det)

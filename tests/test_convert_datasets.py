@@ -140,9 +140,11 @@ def test_potsdam_and_vaihingen(tmp_path, rng):
         "potsdam": (["top_potsdam_2_10_RGB.tif",
                      "top_potsdam_5_15_RGB.tif"],
                     lambda t: t.replace("_RGB", "_label")),
+        # real ISPRS GT archive layout: FLAT tifs named *_noBoundary.tif
+        # (vaihingen.py routes on 'noBoundary'; there is no label/ subdir)
         "vaihingen": (["top_mosaic_09cm_area1.tif",
                        "top_mosaic_09cm_area6.tif"],
-                      lambda t: f"gts_label/{t}"),
+                      lambda t: t.replace(".tif", "_noBoundary.tif")),
     }
     for name, (tiles, label_name) in cases.items():
         ddir = tmp_path / f"{name}_data"
@@ -150,8 +152,12 @@ def test_potsdam_and_vaihingen(tmp_path, rng):
         imgs = {t: _png_bytes((rng.rand(32, 32, 3) * 255).astype(np.uint8))
                 for t in tiles}
         _write_zip(ddir / "images.zip", imgs)
-        _write_zip(ddir / "labels.zip",
-                   {label_name(t): _png_bytes(color) for t in tiles})
+        labels = {label_name(t): _png_bytes(color) for t in tiles}
+        if name == "vaihingen":
+            # upstream deletes the unused area9 ground truth
+            labels[label_name("top_mosaic_09cm_area9.tif")] = \
+                _png_bytes(color)
+        _write_zip(ddir / "labels.zip", labels)
         out = tmp_path / f"{name}_out"
         convert_main(["dataset", name, str(ddir), "-o", str(out),
                       "--clip_size", "16", "--stride_size", "8"])
@@ -168,6 +174,10 @@ def test_potsdam_and_vaihingen(tmp_path, rng):
         lab = cv2.imread(str(out / "ann_dir" / "train" / train_anns[0]),
                          cv2.IMREAD_GRAYSCALE)
         assert set(np.unique(lab)) <= set(range(7))
+        if name == "vaihingen":
+            val_anns = os.listdir(out / "ann_dir" / "val")
+            everything = train_imgs + val_imgs + train_anns + val_anns
+            assert not any(f.startswith("area9_") for f in everything)
 
 
 def test_loveda(tmp_path, rng):
