@@ -255,6 +255,24 @@ def bench_env_steps(n_envs: int = 16, ticks: int = 60):
 BENCHES = {"seg": bench_seg, "env": bench_env_steps, "prednet": bench_prednet}
 
 
+def _device_reachable(timeout_s: int = 240) -> bool:
+    """Probe the accelerator in a subprocess: the tunneled TPU backend can
+    hang indefinitely on init when the tunnel is down (observed 2026-08-18),
+    which would otherwise eat the full per-bench timeout 3x with no output."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jax.devices(); "
+             "print(float(jnp.sum(jnp.ones((8, 8)))))"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return proc.returncode == 0 and "64" in proc.stdout
+    except Exception:
+        return False
+
+
 def main():
     import subprocess
     import sys
@@ -265,20 +283,33 @@ def main():
         print(json.dumps(BENCHES[sys.argv[2]]()))
         return
 
+    # tunnel-flake guard: wait (bounded) for the device before burning the
+    # long per-bench timeouts on a dead backend
+    for attempt in range(6):
+        if _device_reachable():
+            break
+        sys.stderr.write(f"device unreachable (probe {attempt + 1}/6); "
+                         "retrying in 120 s\n")
+        time.sleep(120)
+
     # parent mode: one subprocess per metric so each gets the whole HBM
     # (the three models together exhaust a single chip's 16 GB)
     for name in ("seg", "env", "prednet"):
-        try:
-            proc = subprocess.run(
-                [sys.executable, __file__, "--only", name],
-                capture_output=True, text=True, timeout=3000)
-            for line in proc.stdout.splitlines():
-                if line.startswith("{"):
+        for attempt in (0, 1):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, __file__, "--only", name],
+                    capture_output=True, text=True, timeout=3000)
+                got = [l for l in proc.stdout.splitlines()
+                       if l.startswith("{")]
+                for line in got:
                     print(line, flush=True)
-            if proc.returncode != 0:
-                sys.stderr.write(proc.stderr[-2000:] + "\n")
-        except Exception:
-            traceback.print_exc()
+                if proc.returncode != 0:
+                    sys.stderr.write(proc.stderr[-2000:] + "\n")
+                if got:
+                    break           # metric emitted; no retry needed
+            except Exception:
+                traceback.print_exc()
 
 
 if __name__ == "__main__":

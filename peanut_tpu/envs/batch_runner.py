@@ -90,4 +90,14 @@ class BatchRunner:
                 [m.get("success", 0.0) for m in self.metrics]))
             out["spl"] = float(np.mean(
                 [m.get("spl", 0.0) for m in self.metrics]))
+            # habitat emits SoftSPL alongside SPL; average it when the env
+            # provides it (FakeNavEnv does; the habitat adapter passes the
+            # simulator's own measure through)
+            # (habitat's measure uuid is "softspl"; FakeNavEnv emits
+            # "soft_spl" — accept either)
+            softs = [m.get("soft_spl", m.get("softspl"))
+                     for m in self.metrics
+                     if "soft_spl" in m or "softspl" in m]
+            if softs:
+                out["soft_spl"] = float(np.mean(softs))
         return out

@@ -110,6 +110,12 @@ class FakeNavEnv:
                     continue
             self.objects.append((gx, gy, cat))
         self.goal_pos = np.array([self.objects[0][0], self.objects[0][1]])
+        # habitat-style SPL bookkeeping: straight-line start->goal stands
+        # in for the geodesic shortest path (a lower bound, so SPL here is
+        # conservative); path length accumulates actual displacement
+        self.start_goal_dist = float(
+            np.hypot(*(self.goal_pos - self.pose[:2])))
+        self.path_length = 0.0
         return self._obs()
 
     def _occupied(self, x, y) -> bool:
@@ -208,6 +214,8 @@ class FakeNavEnv:
             ny = self.pose[1] + np.sin(self.pose[2]) * self.FORWARD_M
             # slide-free collision: blocked moves do nothing
             if not self._occupied(nx, ny):
+                self.path_length += float(
+                    np.hypot(nx - self.pose[0], ny - self.pose[1]))
                 self.pose[0], self.pose[1] = nx, ny
         elif action == 2:  # left
             self.pose[2] += turn
@@ -218,8 +226,15 @@ class FakeNavEnv:
         if self.episode_over:
             d = float(np.hypot(*(self.goal_pos - self.pose[:2])))
             success = float(self.called_stop and d < 1.0)
+            # habitat's SPL / SoftSPL (habitat-lab nav.py measures), with
+            # the straight-line start->goal distance as the shortest-path
+            # term (geodesic lower bound -> conservative ratios)
+            d0 = self.start_goal_dist
+            ratio = d0 / max(self.path_length, d0, 1e-5)
+            soft = max(0.0, 1.0 - d / max(d0, 1e-5))
             self._metrics = {"success": success, "distance_to_goal": d,
-                             "spl": success * min(1.0, 3.0 / max(d + 3.0, 1e-5)),
+                             "spl": success * ratio,
+                             "soft_spl": soft * ratio,
                              "steps": self.steps}
         return self._obs()
 

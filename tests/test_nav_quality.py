@@ -60,6 +60,44 @@ def run_single(cfg, pm, seed):
     return env.get_metrics()
 
 
+def test_fake_env_spl_softspl_semantics():
+    """Habitat metric math: a straight walk to the goal scores SPL ~= 1
+    (path ~= shortest), stopping immediately scores SPL 0 but leaves
+    SoftSPL defined; a detour shrinks both by d0 / path_length."""
+    cfg = quality_cfg()
+    env = FakeNavEnv(cfg, size_m=8.0, seed=3, max_steps=100,
+                     goal_min_dist=2.0, goal_max_dist=2.8)
+    env.reset()
+    d0 = env.start_goal_dist
+    # turn toward the goal exactly, then walk straight at it
+    ang = np.arctan2(env.goal_pos[1] - env.pose[1],
+                     env.goal_pos[0] - env.pose[0])
+    env.pose[2] = ang
+    while np.hypot(*(env.goal_pos - env.pose[:2])) > 0.5 \
+            and not env.episode_over:
+        prev = env.pose[:2].copy()
+        env.step(1)
+        if np.allclose(prev, env.pose[:2]):   # blocked by a wall: give up
+            pytest.skip("seed spawned a wall on the straight-line path")
+    env.step(0)
+    m = env.get_metrics()
+    assert m["success"] == 1.0
+    assert m["spl"] == pytest.approx(d0 / max(env.path_length, d0), abs=1e-6)
+    assert m["spl"] > 0.85                     # straight path ~= shortest
+    assert m["soft_spl"] == pytest.approx(
+        max(0.0, 1.0 - m["distance_to_goal"] / d0)
+        * d0 / max(env.path_length, d0), abs=1e-6)
+
+    # immediate stop: failure, SPL 0, SoftSPL ~= 0 (no progress)
+    env2 = FakeNavEnv(cfg, size_m=8.0, seed=3, max_steps=100,
+                      goal_min_dist=2.0, goal_max_dist=2.8)
+    env2.reset()
+    env2.step(0)
+    m2 = env2.get_metrics()
+    assert m2["success"] == 0.0 and m2["spl"] == 0.0
+    assert m2["soft_spl"] == pytest.approx(0.0, abs=1e-6)
+
+
 # committed bar: measured 2026-08-17 on the seeds above (see the probe
 # numbers recorded in the commit adding this file); update only with a
 # written justification in the commit message
@@ -79,6 +117,8 @@ def test_navigation_success_bar():
     assert len(metrics) >= len(SEEDS)
     succ = float(np.mean([m.get("success", 0.0) for m in metrics]))
     spl = float(np.mean([m.get("spl", 0.0) for m in metrics]))
+    print(f"\n[nav-quality LOS tier] success={succ:.3f} spl={spl:.3f} "
+          f"per-ep={[(m.get('success'), round(m.get('spl', 0), 2)) for m in metrics]}")
     assert succ >= SUCCESS_BAR, (
         f"success {succ:.2f} < bar {SUCCESS_BAR}: "
         f"{[m.get('success') for m in metrics]}")
@@ -87,10 +127,11 @@ def test_navigation_success_bar():
 
 EXPLORE_MAX_STEPS = 160
 # committed bar: measured 2026-08-18 on the seeds above with goal_unique
-# spawns (success [1,1,1,1,1,0,0,0] = 0.625, spl 0.539; the two 160-step
-# failures never encounter the goal — exploration in a random walled world
-# with a random-weight prediction net).  0.5 tolerates one benign episode
-# flip from future numerics changes; a two-episode regression fails.
+# spawns (success [1,1,1,1,1,0,0,0] = 0.625, habitat-style spl 0.531; the
+# three 160-step failures never encounter the goal — exploration in a
+# random walled world with a random-weight prediction net).  0.5 tolerates
+# one benign episode flip from future numerics changes; a two-episode
+# regression fails.  LOS tier same day: success 0.875, spl 0.875.
 EXPLORE_SUCCESS_BAR = 0.5
 EXPLORE_SPL_BAR = 0.3
 
@@ -123,6 +164,9 @@ def test_navigation_exploration_bar():
     assert len(metrics) >= len(SEEDS)
     succ = float(np.mean([m.get("success", 0.0) for m in metrics]))
     spl = float(np.mean([m.get("spl", 0.0) for m in metrics]))
+    print(f"\n[nav-quality exploration tier] success={succ:.3f} "
+          f"spl={spl:.3f} "
+          f"per-ep={[(m.get('success'), round(m.get('spl', 0), 2)) for m in metrics]}")
     assert succ >= EXPLORE_SUCCESS_BAR, (
         f"exploration success {succ:.2f} < bar {EXPLORE_SUCCESS_BAR}: "
         f"{[m.get('success') for m in metrics]}")
