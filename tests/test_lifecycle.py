@@ -65,6 +65,60 @@ COLLECT_ARGS = [
 
 
 @pytest.mark.slow
+def test_runtime_checkpoint_resume(tmp_path):
+    """Elastic serving: kill a batched run mid-episode, restore the
+    checkpoint into a FRESH runtime, and the action streams continue
+    bit-identically to an uninterrupted twin.  Doubles as a completeness
+    proof for the runtime's cross-tick state inventory — any state
+    missing from save/load diverges the actions."""
+    from test_agent_e2e import tiny_prediction_model
+
+    cfg = small_cfg(switch_step=0)   # prediction-mode state in the ckpt
+    pm = tiny_prediction_model(cfg)
+    n, first, total = 2, 8, 16
+
+    def fresh_envs():
+        return [FakeNavEnv(cfg, size_m=10.0, seed=s, max_steps=total + 4)
+                for s in (3, 7)]
+
+    def drive(rt, envs, obs, ticks):
+        actions = []
+        for _ in range(ticks):
+            acts = rt.act_batch(obs)
+            actions.append([a["action"] for a in acts])
+            obs = [envs[i].step(acts[i]) for i in range(n)]
+        return actions, obs
+
+    from peanut_tpu.agent.batched_runtime import BatchedNavRuntime
+
+    # uninterrupted twin
+    envs = fresh_envs()
+    rt = BatchedNavRuntime(cfg, n, prediction_model=pm)
+    obs = [e.reset() for e in envs]
+    for i in range(n):
+        rt.reset_env(i)
+    want, _ = drive(rt, envs, obs, total)
+
+    # checkpointed run: same seeds, save after `first` ticks, resume on a
+    # brand-new runtime object
+    envs = fresh_envs()
+    rt1 = BatchedNavRuntime(cfg, n, prediction_model=pm)
+    obs = [e.reset() for e in envs]
+    for i in range(n):
+        rt1.reset_env(i)
+    got_a, obs = drive(rt1, envs, obs, first)
+    ckpt = str(tmp_path / "episodes.npz")
+    rt1.save_episode_state(ckpt)
+    del rt1
+
+    rt2 = BatchedNavRuntime(cfg, n, prediction_model=pm)
+    rt2.load_episode_state(ckpt)
+    got_b, _ = drive(rt2, envs, obs, total - first)
+
+    assert got_a + got_b == want
+
+
+@pytest.mark.slow
 def test_collect_train_publish_serve(tmp_path):
     # ---- 1. collect training maps through the real save gate ----------
     from peanut_tpu.cli import collect_maps
