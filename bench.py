@@ -285,21 +285,34 @@ def main():
 
     # tunnel-flake guard: wait (bounded) for the device before burning the
     # long per-bench timeouts on a dead backend
+    reachable = False
     for attempt in range(6):
-        if _device_reachable():
+        reachable = _device_reachable()
+        if reachable:
             break
         sys.stderr.write(f"device unreachable (probe {attempt + 1}/6); "
                          "retrying in 120 s\n")
         time.sleep(120)
+    if not reachable:
+        # still try each metric once, but with a tight bound, and leave an
+        # honest diagnostic in the artifact instead of silence
+        print(json.dumps({"metric": "device_unreachable",
+                          "value": 0, "unit": "none", "vs_baseline": 0,
+                          "note": "accelerator tunnel down at bench time; "
+                                  "see docs/ROUND3.md for on-chip numbers"}),
+              flush=True)
 
     # parent mode: one subprocess per metric so each gets the whole HBM
     # (the three models together exhaust a single chip's 16 GB)
     for name in ("seg", "env", "prednet"):
-        for attempt in (0, 1):
+        attempts = (0, 1) if reachable else (0,)
+        per_bench_timeout = 3000 if reachable else 600
+        for attempt in attempts:
             try:
                 proc = subprocess.run(
                     [sys.executable, __file__, "--only", name],
-                    capture_output=True, text=True, timeout=3000)
+                    capture_output=True, text=True,
+                    timeout=per_bench_timeout)
                 got = [l for l in proc.stdout.splitlines()
                        if l.startswith("{")]
                 for line in got:

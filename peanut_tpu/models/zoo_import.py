@@ -7,9 +7,10 @@ augreg JAX ViT npz format) convert into this framework's flax trees.
 
 Unlike the PEANUT-critical importers (core/checkpoint.py, models/d2_import
 .py) these are permissive: they return ``(variables, leftovers)`` where
-``leftovers`` lists source keys with no destination (e.g. Swin's relative-
-position bias tables, which this zoo's window attention does not use) —
-callers decide whether leftovers are acceptable.
+``leftovers`` lists source keys with no destination (e.g. a checkpoint's
+optimizer or EMA side-car entries) — callers decide whether leftovers are
+acceptable.  The Swin converter consumes every model key, including the
+relative-position bias tables (round-3).
 """
 
 from __future__ import annotations

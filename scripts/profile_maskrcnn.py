@@ -89,6 +89,57 @@ def main():
     fps = args.batch / (t_all / 1000)
     print(f"fused: {fps:.1f} frames/s @ batch {args.batch}")
 
+    # ---- box-stage internals: where do the box-head ms live? ----------
+    from peanut_tpu.models.boxes import (apply_deltas, batched_nms,
+                                         clip_boxes)
+    from peanut_tpu.models.mask_rcnn import (BOX_REG_WEIGHTS,
+                                             DETECTIONS_PER_IMAGE,
+                                             ROI_NMS_THRESH,
+                                             RPN_POST_NMS_TOPK)
+    from peanut_tpu.models.roi_align import multilevel_roi_align
+
+    bsz, n = props.shape[:2]
+    ncls = model.num_classes
+
+    roi_fn = jax.jit(lambda py, p: multilevel_roi_align(
+        list(py[:4]), p, FPN_STRIDES[:4], 7))
+
+    def _fc(m, x):
+        return m.box_predictor(m.box_head(x))
+
+    fc_fn = jax.jit(lambda v, x: model.apply(v, x, method=_fc))
+
+    @jax.jit
+    def nms_fn(probs, boxes_per_class):
+        flat_scores = probs.reshape(bsz, -1)
+        flat_scores = jnp.where(flat_scores > model.score_thresh,
+                                flat_scores, -jnp.inf)
+        flat_boxes = boxes_per_class.reshape(bsz, -1, 4)
+        flat_cls = jnp.tile(jnp.arange(ncls), n)
+        k = min(RPN_POST_NMS_TOPK, flat_scores.shape[1])
+        cand_scores, idx = jax.lax.top_k(flat_scores, k)
+        cand_boxes = jnp.take_along_axis(flat_boxes, idx[..., None], axis=1)
+        cand_cls = flat_cls[idx]
+        kept = jax.vmap(
+            lambda b, s, c_: batched_nms(b, s, c_, ROI_NMS_THRESH))(
+            cand_boxes, cand_scores, cand_cls)
+        det_scores, didx = jax.lax.top_k(kept, DETECTIONS_PER_IMAGE)
+        return (jnp.take_along_axis(cand_boxes, didx[..., None], axis=1),
+                det_scores, jnp.take_along_axis(cand_cls, didx, axis=1))
+
+    pooled, t_roi = bench("  box roialign only", roi_fn, pyramid, props)
+    flatp = pooled.reshape((bsz * n,) + pooled.shape[2:])
+    (fc_scores, fc_deltas), t_fc = bench("  box fc heads only", fc_fn,
+                                         variables, flatp)
+    probs = jax.nn.softmax(fc_scores, axis=-1)[:, :ncls].reshape(bsz, n, ncls)
+    probs = probs * jnp.isfinite(pscores)[..., None]
+    bpc = clip_boxes(apply_deltas(
+        fc_deltas.reshape(bsz, n, ncls, 4), props[:, :, None, :],
+        weights=BOX_REG_WEIGHTS), h, w)
+    _, t_nms = bench("  box nms+topk only", nms_fn, probs, bpc)
+    print(f"{'  box sub-stage sum':24s} {t_roi + t_fc + t_nms:8.1f} ms "
+          f"(fused box stage {t_box:.1f})")
+
     # overflow population among proposals (box stage ROIAlign)
     from peanut_tpu.models.roi_align import (assign_fpn_levels,
                                              _cell_area_bound, _ceil8)

@@ -91,3 +91,75 @@ def test_tools_confusion_matrix(pseudo_dataset, tmp_path, capsys):
     # k falls back to the model's 2 classes; gt pixels outside [0,k) are
     # excluded from the matrix
     assert cm.shape[0] == cm.shape[1] and 0 < cm.sum() <= 16 * 16
+
+
+def test_bundled_dataset_zoo_registered():
+    """Round-3: the full bundled dataset zoo from the reference's
+    mmseg/datasets/ directory binds onto ImageSegDataset."""
+    for name in ("ChaseDB1Dataset", "DRIVEDataset", "HRFDataset",
+                 "STAREDataset", "PascalContextDataset",
+                 "PascalContextDataset59", "COCOStuffDataset",
+                 "LoveDADataset", "PotsdamDataset", "ISPRSDataset",
+                 "iSAIDDataset", "DarkZurichDataset",
+                 "NightDrivingDataset"):
+        assert name in DATASETS
+    assert len(DATASETS.get("PascalContextDataset").CLASSES) == 60
+    assert len(DATASETS.get("PascalContextDataset59").CLASSES) == 59
+    assert len(DATASETS.get("COCOStuffDataset").CLASSES) == 171
+    assert len(DATASETS.get("iSAIDDataset").CLASSES) == 16
+    assert (DATASETS.get("PotsdamDataset").CLASSES
+            == DATASETS.get("ISPRSDataset").CLASSES)
+
+
+def _make_pairs(tmp_path, img_suffix, seg_suffix, seg_stem=lambda s: s,
+                n=2):
+    import cv2
+    img_dir = tmp_path / "img_dir"
+    ann_dir = tmp_path / "ann_dir"
+    img_dir.mkdir(exist_ok=True)
+    ann_dir.mkdir(exist_ok=True)
+    rng = np.random.RandomState(1)
+    for i in range(n):
+        stem = f"t{i}"
+        cv2.imwrite(str(img_dir / (stem + img_suffix)),
+                    (rng.rand(8, 8, 3) * 255).astype(np.uint8))
+        cv2.imwrite(str(ann_dir / (seg_stem(stem) + seg_suffix)),
+                    rng.randint(0, 2, (8, 8)).astype(np.uint8))
+    return str(tmp_path)
+
+
+def test_vessel_dataset_suffix_pairing(tmp_path):
+    pytest.importorskip("cv2")
+    root = _make_pairs(tmp_path, ".png", "_1stHO.png")
+    ds = DATASETS.get("ChaseDB1Dataset")(data_root=root)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["gt"].shape == (8, 8) and ds.num_classes == 2
+
+
+def test_isaid_annotation_stem(tmp_path):
+    pytest.importorskip("cv2")
+    root = _make_pairs(tmp_path, ".png", ".png",
+                       seg_stem=lambda s: s + "_instance_color_RGB")
+    ds = DATASETS.get("iSAIDDataset")(data_root=root)
+    assert len(ds) == 2
+    assert ds[1]["gt"].shape == (8, 8)
+
+
+def test_format_results_cityscapes_and_loveda(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    root = _make_pairs(tmp_path, "_leftImg8bit.png",
+                       "_gtFine_labelTrainIds.png")
+    ds = DATASETS.get("CityscapesDataset")(data_root=root)
+    pred = np.zeros((8, 8), np.uint8)
+    pred[0, 0] = 18  # bicycle trainId -> labelId 33
+    files = ds.format_results([pred], str(tmp_path / "fmt"), indices=[0])
+    out = cv2.imread(files[0], cv2.IMREAD_GRAYSCALE)
+    assert out[0, 0] == 33 and out[1, 1] == 7  # road trainId 0 -> 7
+
+    (tmp_path / "ld").mkdir()
+    root2 = _make_pairs(tmp_path / "ld", ".png", ".png")
+    lds = DATASETS.get("LoveDADataset")(data_root=root2)
+    files = lds.format_results([pred], str(tmp_path / "fmt2"), indices=[0])
+    out = cv2.imread(files[0], cv2.IMREAD_GRAYSCALE)
+    assert out[0, 0] == 18  # raw ids, no remap
