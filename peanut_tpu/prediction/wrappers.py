@@ -41,6 +41,42 @@ class RepeatDataset:
         return self.dataset[i % len(self.dataset)]
 
 
+@DATASETS.register()
+class MultiImageMixDataset:
+    """Mixed-image augmentation wrapper (dataset_wrappers.py:196): any
+    pipeline stage exposing ``get_indexes(dataset)`` (e.g. RandomMosaic)
+    gets ``mix_results`` — extra samples drawn from the base dataset —
+    injected into the sample before it runs, and stripped after."""
+
+    def __init__(self, dataset, pipeline: Sequence, skip_types=None):
+        self.dataset = dataset
+        self.pipeline = list(pipeline)
+        self.skip_types = set(skip_types or ())
+        self.CLASSES = getattr(dataset, "CLASSES", None)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def update_skip_type_keys(self, skip_types):
+        self.skip_types = set(skip_types)
+
+    def __getitem__(self, i):
+        import copy
+        s = copy.deepcopy(self.dataset[i])
+        for t in self.pipeline:
+            if type(t).__name__ in self.skip_types:
+                continue
+            if hasattr(t, "get_indexes"):
+                idxs = t.get_indexes(self.dataset)
+                if not isinstance(idxs, (list, tuple)):
+                    idxs = [idxs]
+                s["mix_results"] = [copy.deepcopy(self.dataset[j])
+                                    for j in idxs]
+            s = t(s)
+            s.pop("mix_results", None)
+        return s
+
+
 def ohem_pixel_weights(logits, target, thresh: float = 0.7,
                        min_kept: int = 100_000, ignore_index: int = 255):
     """Online Hard Example Mining pixel weights (OHEMPixelSampler parity).

@@ -83,3 +83,109 @@ def test_aug_inference_matches_single_on_symmetric_model():
     tta = aug_inference(model, variables, x, scales=(0.5, 1.0), flip=True)
     assert tta.shape == plain.shape
     assert np.isfinite(np.asarray(tta)).all()
+
+
+# ---------------------------------------------------------------------------
+# Round-3 transform-zoo additions
+# ---------------------------------------------------------------------------
+
+def _zsample(h=30, w=50, c=3, seed=0):
+    rng = np.random.RandomState(seed)
+    return {"img": (rng.rand(h, w, c) * 255).astype(np.float32),
+            "gt": rng.randint(0, 4, (h, w)).astype(np.uint8)}
+
+
+def test_resize_to_multiple():
+    from peanut_tpu.prediction.transforms_extra import ResizeToMultiple
+    s = ResizeToMultiple(32)(_zsample())
+    assert s["img"].shape == (32, 64, 3) and s["gt"].shape == (32, 64)
+
+
+def test_rerange():
+    from peanut_tpu.prediction.transforms_extra import Rerange
+    s = Rerange(10, 20)(_zsample())
+    assert abs(s["img"].min() - 10) < 1e-5 and abs(s["img"].max() - 20) < 1e-5
+
+
+def test_clahe_and_gamma():
+    pytest.importorskip("cv2")
+    from peanut_tpu.prediction.transforms_extra import CLAHE, AdjustGamma
+    s = CLAHE()(_zsample())
+    assert s["img"].shape == (30, 50, 3)
+    assert s["img"].min() >= 0 and s["img"].max() <= 255
+
+    base = _zsample()
+    ident = AdjustGamma(1.0)(dict(base))
+    # gamma-1 LUT is the identity on uint8 values
+    np.testing.assert_array_equal(ident["img"],
+                                  base["img"].astype(np.uint8))
+    bright = AdjustGamma(2.0)(dict(_zsample()))
+    assert bright["img"].mean() >= ident["img"].mean()
+
+
+def test_rgb2gray():
+    from peanut_tpu.prediction.transforms_extra import RGB2Gray
+    base = _zsample()
+    s = RGB2Gray()(dict(base))
+    assert s["img"].shape == (30, 50, 3)
+    w = np.array([0.299, 0.587, 0.114], np.float32)
+    expect = (base["img"] * w).sum(-1)
+    np.testing.assert_allclose(s["img"][..., 0], expect, rtol=1e-5)
+    np.testing.assert_array_equal(s["img"][..., 0], s["img"][..., 2])
+    assert RGB2Gray(out_channels=1)(dict(base))["img"].shape == (30, 50, 1)
+
+
+def test_seg_rescale():
+    pytest.importorskip("cv2")
+    from peanut_tpu.prediction.transforms_extra import SegRescale
+    s = SegRescale(0.5)(_zsample(h=32, w=64))
+    assert s["gt"].shape == (16, 32) and s["img"].shape == (32, 64, 3)
+
+
+def test_random_cutout():
+    from peanut_tpu.prediction.transforms_extra import RandomCutOut
+    t = RandomCutOut(prob=1.0, n_holes=2, cutout_shape=(8, 8),
+                     seg_fill_in=255, rng=np.random.RandomState(0))
+    base = _zsample()
+    base["img"] += 1.0  # ensure no natural zeros
+    s = t(base)
+    assert (s["img"] == 0).all(axis=-1).any(), "no hole cut"
+    assert (s["gt"] == 255).any(), "seg fill not applied"
+    # holes line up between img and gt
+    hole = (s["img"] == 0).all(axis=-1)
+    assert (s["gt"][hole] == 255).all()
+
+
+class _TinyDS:
+    CLASSES = ("a", "b")
+
+    def __init__(self):
+        self.samples = [_zsample(seed=i, h=20, w=20) for i in range(4)]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        return {k: v.copy() for k, v in self.samples[i].items()}
+
+
+def test_random_mosaic_via_multi_image_mix():
+    pytest.importorskip("cv2")
+    from peanut_tpu.prediction.transforms_extra import RandomMosaic
+    from peanut_tpu.prediction.wrappers import MultiImageMixDataset
+
+    t = RandomMosaic(prob=1.0, img_scale=(16, 16), pad_val=7,
+                     seg_pad_val=255, rng=np.random.RandomState(3))
+    ds = MultiImageMixDataset(_TinyDS(), [t])
+    s = ds[0]
+    assert s["img"].shape == (32, 32, 3) and s["gt"].shape == (32, 32)
+    assert "mix_results" not in s
+    # all four quadrant sources appear: canvas isn't all padding
+    assert (s["img"] != 7).any()
+    assert s["gt"].max() == 255  # padding ring present
+    assert (s["gt"] != 255).any()
+
+    # skip list disables the stage
+    ds2 = MultiImageMixDataset(_TinyDS(), [t], skip_types=["RandomMosaic"])
+    s2 = ds2[1]
+    assert s2["img"].shape == (20, 20, 3)
