@@ -139,11 +139,17 @@ def model_convert(args):
         variables, leftovers = zoo_import.convert_augreg_vit(src)
     else:
         sd = load_torch_state_dict(args.src)
-        fn = {"vit": zoo_import.convert_timm_vit,
-              "mit": zoo_import.convert_official_mit,
-              "swin": zoo_import.convert_official_swin,
-              "convnext": zoo_import.convert_mmcls_convnext}[kind]
-        variables, leftovers = fn(sd)
+        if kind in ("stdc1", "stdc2"):
+            variables, leftovers = zoo_import.convert_official_stdc(
+                sd, "STDCNet1" if kind == "stdc1" else "STDCNet2")
+        else:
+            fn = {"vit": zoo_import.convert_timm_vit,
+                  "mit": zoo_import.convert_official_mit,
+                  "swin": zoo_import.convert_official_swin,
+                  "convnext": zoo_import.convert_mmcls_convnext,
+                  "beit": zoo_import.convert_official_beit,
+                  "twins": zoo_import.convert_official_twins}[kind]
+            variables, leftovers = fn(sd)
     n_params = len(jax_tree_leaves(variables))
     save_checkpoint(args.out, variables)
     print(f"converted {kind}: {n_params} arrays -> {args.out}")
@@ -164,7 +170,9 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     m = sub.add_parser("model")
-    m.add_argument("kind", choices=["vit", "mit", "swin", "vitjax", "convnext"])
+    m.add_argument("kind", choices=["vit", "mit", "swin", "vitjax",
+                                    "convnext", "beit", "stdc1", "stdc2",
+                                    "twins"])
     m.add_argument("src")
     m.add_argument("out")
     m.set_defaults(fn=model_convert)

@@ -690,9 +690,15 @@ class STDCModule(nn.Module):
         outs = []
         y = ConvModule(self.features // 2, 1, name="conv0")(x, train=train)
         if self.stride == 2:
+            # mmseg 'cat' fusion (stdc.py:50-58,117-127): branch 0 is
+            # avg-pooled x0; the conv chain runs on a depthwise stride-2
+            # downsample of x0 (conv+bn, no act), conv1 itself stride 1
             outs.append(nn.avg_pool(y, (3, 3), strides=(2, 2),
                                     padding=((1, 1), (1, 1))))
-            y = ConvModule(self.features // 4, 3, stride=2, padding=1,
+            y = ConvModule(self.features // 2, 3, stride=2, padding=1,
+                           groups=self.features // 2, with_act=False,
+                           name="downsample")(y, train=train)
+            y = ConvModule(self.features // 4, 3, padding=1,
                            name="conv1")(y, train=train)
         else:
             outs.append(y)
@@ -714,8 +720,7 @@ class STDCModule(nn.Module):
 
 @BACKBONES.register()
 class STDCNet(nn.Module):
-    """STDC backbone (stdc.py STDCNet): conv stem + 3 STDC stages.
-    stdc1: 1 module/stage is (4,5,3)->(2,2,2)... configured by num_modules."""
+    """STDC backbone (stdc.py STDCNet): conv stem + 3 STDC stages."""
     stdc_type: str = "STDCNet1"
     channels: Sequence[int] = (32, 64, 256, 512, 1024)
     bottleneck_type: str = "cat"
@@ -724,7 +729,9 @@ class STDCNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        num_modules = (1, 1, 1) if self.stdc_type == "STDCNet1" else (3, 4, 2)
+        # mmseg stdc.py arch_settings: STDCNet1 = 2 modules/stage,
+        # STDCNet2 = (4, 5, 3); first module of each stage strides 2
+        num_modules = (2, 2, 2) if self.stdc_type == "STDCNet1" else (4, 5, 3)
         outs = []
         x = ConvModule(self.channels[0], 3, stride=2, padding=1,
                        name="stem0")(x, train=train)

@@ -76,11 +76,13 @@ class ConvModule(nn.Module):
     with_norm: bool = True
     with_act: bool = True
     act: Callable = nn.relu
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = Conv2d(self.features, self.kernel_size, self.stride, self.padding,
-                   self.dilation, use_bias=not self.with_norm, name="conv_unit")(x)
+                   self.dilation, use_bias=not self.with_norm,
+                   groups=self.groups, name="conv_unit")(x)
         if self.with_norm:
             x = BatchNorm(name="norm")(x, train=train)
         if self.with_act:

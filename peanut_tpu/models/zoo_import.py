@@ -319,3 +319,183 @@ def convert_mmcls_convnext(sd: Dict[str, np.ndarray]
     leftovers = [k for k in sd if k not in handled
                  and not k.startswith("head")]
     return {"params": params}, leftovers
+
+
+def _bn(params, stats, sd, tkey, fpath, handled):
+    """torch BatchNorm -> ConvModule's BatchNorm (inner name 'bn')."""
+    m = fpath + ("bn",)
+    _set(params, m + ("scale",), sd[f"{tkey}.weight"])
+    _set(params, m + ("bias",), sd[f"{tkey}.bias"])
+    _set(stats, m + ("mean",), sd[f"{tkey}.running_mean"])
+    _set(stats, m + ("var",), sd[f"{tkey}.running_var"])
+    handled.update({f"{tkey}.{s}" for s in
+                    ("weight", "bias", "running_mean", "running_var")})
+
+
+def convert_official_beit(sd: Dict[str, np.ndarray]
+                          ) -> Tuple[Dict[str, Any], List[str]]:
+    """Official/unilm BEiT checkpoint -> BEiT (backbones_zoo.py).
+
+    Reference twin: tools/model_converters/beit2mmseg.py.  Deltas handled
+    structurally rather than by key renaming: the split q_bias/v_bias pair
+    (official BEiT has no k bias) concatenates into the fused qkv bias, and
+    each block's relative_position_bias_table drops its 3 cls-token rows
+    (this backbone is purely spatial).  relative_position_index buffers are
+    recomputed statically.  cls_token / mask_token / final norm surface as
+    leftovers for the caller to judge.
+    """
+    params: Dict[str, Any] = {}
+    handled = set()
+
+    _set(params, ("patch_embed", "kernel"),
+         sd["patch_embed.proj.weight"].transpose(_CONV_T))
+    _set(params, ("patch_embed", "bias"), sd["patch_embed.proj.bias"])
+    handled.update({"patch_embed.proj.weight", "patch_embed.proj.bias"})
+
+    blk = re.compile(r"blocks\.(\d+)\.")
+    n_blocks = 1 + max((int(m.group(1)) for k in sd
+                        if (m := blk.match(k))), default=-1)
+    for i in range(n_blocks):
+        t = f"blocks.{i}"
+        f = (f"block{i}",)
+        _ln(params, sd, f"{t}.norm1", f + ("norm1",), handled)
+        _ln(params, sd, f"{t}.norm2", f + ("norm2",), handled)
+        _set(params, f + ("qkv", "kernel"), sd[f"{t}.attn.qkv.weight"].T)
+        handled.add(f"{t}.attn.qkv.weight")
+        if f"{t}.attn.q_bias" in sd:
+            q_b = sd[f"{t}.attn.q_bias"]
+            v_b = sd[f"{t}.attn.v_bias"]
+            _set(params, f + ("qkv", "bias"),
+                 np.concatenate([q_b, np.zeros_like(q_b), v_b]))
+            handled.update({f"{t}.attn.q_bias", f"{t}.attn.v_bias"})
+        _dense(params, sd, f"{t}.attn.proj", f + ("proj",), handled)
+        _dense(params, sd, f"{t}.mlp.fc1", f + ("fc1",), handled)
+        _dense(params, sd, f"{t}.mlp.fc2", f + ("fc2",), handled)
+        _set(params, f + ("gamma1",), sd[f"{t}.gamma_1"])
+        _set(params, f + ("gamma2",), sd[f"{t}.gamma_2"])
+        handled.update({f"{t}.gamma_1", f"{t}.gamma_2"})
+        tbl = f"{t}.attn.relative_position_bias_table"
+        if tbl in sd:
+            # rows: (2g-1)^2 spatial + 3 cls relations — keep spatial only
+            _set(params, f + ("rel_pos_bias",), sd[tbl][:-3])
+            handled.add(tbl)
+        handled.add(f"{t}.attn.relative_position_index")
+
+    leftovers = [k for k in sd if k not in handled]
+    return {"params": params}, leftovers
+
+
+def convert_official_stdc(sd: Dict[str, np.ndarray], stdc_type: str
+                          ) -> Tuple[Dict[str, Any], List[str]]:
+    """Official STDC-Seg backbone checkpoint -> STDCNet (backbones_zoo.py).
+
+    Reference twin: tools/model_converters/stdc2mmseg.py — the same
+    features.N -> stage table ('cp.' prefixes stripped, conv_list -> convM,
+    avd_layer -> the stride-2 module's depthwise downsample).  Classifier
+    fc/linear keys surface as leftovers.
+    """
+    assert stdc_type in ("STDCNet1", "STDC1", "STDCNet2", "STDC2")
+    if stdc_type in ("STDCNet1", "STDC1"):
+        stages = ["stem0", "stem1", "stage2_0", "stage2_1", "stage3_0",
+                  "stage3_1", "stage4_0", "stage4_1"]
+    else:
+        stages = (["stem0", "stem1"]
+                  + [f"stage2_{j}" for j in range(4)]
+                  + [f"stage3_{j}" for j in range(5)]
+                  + [f"stage4_{j}" for j in range(3)])
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    handled = set()
+    sd = {k[len("cp."):] if k.startswith("cp.") else k: v
+          for k, v in sd.items()}
+    for k in sd:
+        if k.endswith("num_batches_tracked"):
+            handled.add(k)
+
+    def convx(tkey, fpath):
+        _set(params, fpath + ("conv_unit", "conv", "kernel"),
+             sd[f"{tkey}.conv.weight"].transpose(_CONV_T))
+        handled.add(f"{tkey}.conv.weight")
+        _bn(params, stats, sd, f"{tkey}.bn", fpath + ("norm",), handled)
+
+    for n, dst in enumerate(stages):
+        t = f"features.{n}"
+        if f"{t}.conv.weight" in sd:                 # stem ConvX
+            convx(t, (dst,))
+            continue
+        m = re.compile(rf"features\.{n}\.conv_list\.(\d+)\.")
+        n_convs = 1 + max((int(g.group(1)) for k in sd
+                           if (g := m.match(k))), default=-1)
+        for j in range(n_convs):
+            convx(f"{t}.conv_list.{j}", (dst, f"conv{j}"))
+        if f"{t}.avd_layer.0.weight" in sd:          # stride-2 downsample
+            _set(params, (dst, "downsample", "conv_unit", "conv", "kernel"),
+                 sd[f"{t}.avd_layer.0.weight"].transpose(_CONV_T))
+            handled.add(f"{t}.avd_layer.0.weight")
+            _bn(params, stats, sd, f"{t}.avd_layer.1",
+                (dst, "downsample", "norm"), handled)
+
+    leftovers = [k for k in sd if k not in handled]
+    return {"params": params, "batch_stats": stats}, leftovers
+
+
+def convert_official_twins(sd: Dict[str, np.ndarray]
+                           ) -> Tuple[Dict[str, Any], List[str]]:
+    """Official Twins (PCPVT/SVT) checkpoint -> PCPVT/SVT (backbones_zoo.py).
+
+    Reference twin: tools/model_converters/twins2mmseg.py.  GSA blocks map
+    q/kv/proj/sr/norm onto _SRAttention's q/kv/proj/sr/sr_norm; SVT's LSA
+    blocks (even indices) map their fused qkv directly.  pos_block.s.proj.0
+    is the stage PEG depthwise conv.  Classifier head / final norm surface
+    as leftovers.
+    """
+    params: Dict[str, Any] = {}
+    handled = set()
+
+    n_stages = 1 + max((int(m.group(1)) for k in sd
+                        if (m := re.match(r"patch_embeds\.(\d+)\.", k))),
+                       default=-1)
+    for s in range(n_stages):
+        pe = f"patch_embeds.{s}"
+        _set(params, (f"patch_embed{s}", "kernel"),
+             sd[f"{pe}.proj.weight"].transpose(_CONV_T))
+        _set(params, (f"patch_embed{s}", "bias"), sd[f"{pe}.proj.bias"])
+        handled.update({f"{pe}.proj.weight", f"{pe}.proj.bias"})
+        _ln(params, sd, f"{pe}.norm", (f"embed_norm{s}",), handled)
+
+        peg = f"pos_block.{s}.proj.0"
+        _set(params, (f"peg{s}", "kernel"),
+             sd[f"{peg}.weight"].transpose(_CONV_T))
+        _set(params, (f"peg{s}", "bias"), sd[f"{peg}.bias"])
+        handled.update({f"{peg}.weight", f"{peg}.bias"})
+
+        blk = re.compile(rf"blocks\.{s}\.(\d+)\.")
+        n_blocks = 1 + max((int(m.group(1)) for k in sd
+                            if (m := blk.match(k))), default=-1)
+        for j in range(n_blocks):
+            t = f"blocks.{s}.{j}"
+            f = (f"block{s}_{j}",)
+            _ln(params, sd, f"{t}.norm1", f + ("norm1",), handled)
+            _ln(params, sd, f"{t}.norm2", f + ("norm2",), handled)
+            a = f + ("attn",)
+            if f"{t}.attn.qkv.weight" in sd:         # LSA (SVT even blocks)
+                _dense(params, sd, f"{t}.attn.qkv", a + ("qkv",), handled)
+            else:                                    # GSA
+                _dense(params, sd, f"{t}.attn.q", a + ("q",), handled)
+                _dense(params, sd, f"{t}.attn.kv", a + ("kv",), handled)
+                if f"{t}.attn.sr.weight" in sd:
+                    _set(params, a + ("sr", "kernel"),
+                         sd[f"{t}.attn.sr.weight"].transpose(_CONV_T))
+                    _set(params, a + ("sr", "bias"),
+                         sd[f"{t}.attn.sr.bias"])
+                    handled.update({f"{t}.attn.sr.weight",
+                                    f"{t}.attn.sr.bias"})
+                    _ln(params, sd, f"{t}.attn.norm", a + ("sr_norm",),
+                        handled)
+            _dense(params, sd, f"{t}.attn.proj", a + ("proj",), handled)
+            _dense(params, sd, f"{t}.mlp.fc1", f + ("fc1",), handled)
+            _dense(params, sd, f"{t}.mlp.fc2", f + ("fc2",), handled)
+
+    leftovers = [k for k in sd if k not in handled
+                 and not k.startswith("head")]
+    return {"params": params}, leftovers

@@ -439,3 +439,214 @@ def test_swin_block_matches_numpy_oracle(rng, shift):
     got = np.asarray(block.apply({"params": p}, jnp.asarray(x)))
     want = np_swin_block_oracle(x.astype(np.float64), p, ws, shift, heads)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Round-3: the remaining reference converters (beit/stdc/twins2mmseg)
+# ---------------------------------------------------------------------------
+
+def _rand_sd(shapes, rng):
+    return {k: (rng.randn(*s) * 0.05).astype(np.float32)
+            if s else np.zeros((), np.float32)
+            for k, s in shapes.items()}
+
+
+def test_official_beit_converter(rng):
+    from peanut_tpu.models.backbones_zoo import BEiT
+    from peanut_tpu.models.zoo_import import convert_official_beit
+
+    d, heads, depth, patch, img = 8, 2, 2, 4, 16
+    g = img // patch
+    shapes = {"patch_embed.proj.weight": (d, 3, patch, patch),
+              "patch_embed.proj.bias": (d,),
+              "cls_token": (1, 1, d)}
+    for i in range(depth):
+        t = f"blocks.{i}"
+        shapes.update({
+            f"{t}.norm1.weight": (d,), f"{t}.norm1.bias": (d,),
+            f"{t}.norm2.weight": (d,), f"{t}.norm2.bias": (d,),
+            f"{t}.attn.qkv.weight": (3 * d, d),
+            f"{t}.attn.q_bias": (d,), f"{t}.attn.v_bias": (d,),
+            f"{t}.attn.proj.weight": (d, d), f"{t}.attn.proj.bias": (d,),
+            f"{t}.mlp.fc1.weight": (4 * d, d), f"{t}.mlp.fc1.bias": (4 * d,),
+            f"{t}.mlp.fc2.weight": (d, 4 * d), f"{t}.mlp.fc2.bias": (d,),
+            f"{t}.gamma_1": (d,), f"{t}.gamma_2": (d,),
+            f"{t}.attn.relative_position_bias_table":
+                ((2 * g - 1) ** 2 + 3, heads),
+            f"{t}.attn.relative_position_index":
+                (g * g + 1, g * g + 1)})
+    sd = _rand_sd(shapes, rng)
+    converted, leftovers = convert_official_beit(sd)
+    assert leftovers == ["cls_token"], leftovers
+
+    model = BEiT(embed_dim=d, depth=depth, num_heads=heads,
+                 patch_size=patch, out_indices=(0, 1))
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, img, img, 3), jnp.float32))
+    _assert_same(converted["params"], init["params"])
+    # qkv bias layout: q_bias ++ zeros ++ v_bias
+    b = converted["params"]["block0"]["qkv"]["bias"]
+    np.testing.assert_array_equal(b[:d], sd["blocks.0.attn.q_bias"])
+    np.testing.assert_array_equal(b[d:2 * d], np.zeros(d, np.float32))
+    np.testing.assert_array_equal(b[2 * d:], sd["blocks.0.attn.v_bias"])
+    # forward runs with the converted tree
+    out = model.apply(converted, jnp.zeros((1, img, img, 3), jnp.float32))
+    assert out[0].shape[-1] == d
+
+
+def _official_stdc_sd_shapes(channels=(8, 8, 16, 32, 64), stdc1=True,
+                             num_convs=4):
+    shapes = {}
+    for n in (0, 1):
+        cin = 3 if n == 0 else channels[0]
+        shapes[f"features.{n}.conv.weight"] = (channels[n], cin, 3, 3)
+        for s in ("weight", "bias", "running_mean", "running_var"):
+            shapes[f"features.{n}.bn.{s}"] = (channels[n],)
+    counts = (2, 2, 2) if stdc1 else (4, 5, 3)
+    n = 2
+    for s, cnt in enumerate(counts):
+        out = channels[s + 2]
+        for j in range(cnt):
+            cin = channels[s + 1] if j == 0 else out
+            t = f"features.{n}"
+            # conv_list widths: out/2, out/4, out/8, ..., last repeats
+            widths = [out // 2]
+            for i in range(1, num_convs):
+                f = 2 ** (i + 1) if i != num_convs - 1 else 2 ** i
+                widths.append(out // f)
+            prev = cin
+            for m, wdt in enumerate(widths):
+                k = 1 if m == 0 else 3
+                shapes[f"{t}.conv_list.{m}.conv.weight"] = (wdt, prev, k, k)
+                for sfx in ("weight", "bias", "running_mean", "running_var"):
+                    shapes[f"{t}.conv_list.{m}.bn.{sfx}"] = (wdt,)
+                prev = wdt
+            if j == 0:  # stride-2: depthwise avd_layer
+                shapes[f"{t}.avd_layer.0.weight"] = (out // 2, 1, 3, 3)
+                for sfx in ("weight", "bias", "running_mean", "running_var"):
+                    shapes[f"{t}.avd_layer.1.{sfx}"] = (out // 2,)
+            n += 1
+    return shapes
+
+
+def test_official_stdc_converter(rng):
+    from peanut_tpu.models.backbones_zoo import STDCNet
+    from peanut_tpu.models.zoo_import import convert_official_stdc
+
+    channels = (8, 8, 16, 32, 64)
+    sd = _rand_sd(_official_stdc_sd_shapes(channels), rng)
+    sd["fc.weight"] = np.zeros((10, 64), np.float32)  # classifier leftover
+    # make BN vars positive
+    for k in sd:
+        if k.endswith("running_var"):
+            sd[k] = np.abs(sd[k]) + 1.0
+    converted, leftovers = convert_official_stdc(sd, "STDCNet1")
+    assert leftovers == ["fc.weight"], leftovers
+
+    model = STDCNet(channels=channels)
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 64, 64, 3), jnp.float32))
+    _assert_same(converted["params"], init["params"])
+    _assert_same(converted["batch_stats"], init["batch_stats"])
+    outs = model.apply(converted, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    assert len(outs) == 5
+
+
+def test_official_twins_converter(rng):
+    from peanut_tpu.models.backbones_zoo import PCPVT
+    from peanut_tpu.models.zoo_import import convert_official_twins
+
+    dims, heads, depths, srs, mlps = (8, 16), (2, 2), (1, 2), (2, 1), (2, 2)
+    shapes = {"norm.weight": (dims[-1],), "norm.bias": (dims[-1],),
+              "head.weight": (10, dims[-1])}
+    for s, d in enumerate(dims):
+        patch = 4 if s == 0 else 2
+        cin = 3 if s == 0 else dims[s - 1]
+        shapes.update({
+            f"patch_embeds.{s}.proj.weight": (d, cin, patch, patch),
+            f"patch_embeds.{s}.proj.bias": (d,),
+            f"patch_embeds.{s}.norm.weight": (d,),
+            f"patch_embeds.{s}.norm.bias": (d,),
+            f"pos_block.{s}.proj.0.weight": (d, 1, 3, 3),
+            f"pos_block.{s}.proj.0.bias": (d,)})
+        for j in range(depths[s]):
+            t = f"blocks.{s}.{j}"
+            shapes.update({
+                f"{t}.norm1.weight": (d,), f"{t}.norm1.bias": (d,),
+                f"{t}.norm2.weight": (d,), f"{t}.norm2.bias": (d,),
+                f"{t}.attn.q.weight": (d, d), f"{t}.attn.q.bias": (d,),
+                f"{t}.attn.kv.weight": (2 * d, d),
+                f"{t}.attn.kv.bias": (2 * d,),
+                f"{t}.attn.proj.weight": (d, d),
+                f"{t}.attn.proj.bias": (d,),
+                f"{t}.mlp.fc1.weight": (mlps[s] * d, d),
+                f"{t}.mlp.fc1.bias": (mlps[s] * d,),
+                f"{t}.mlp.fc2.weight": (d, mlps[s] * d),
+                f"{t}.mlp.fc2.bias": (d,)})
+            if srs[s] > 1:
+                shapes.update({
+                    f"{t}.attn.sr.weight": (d, d, srs[s], srs[s]),
+                    f"{t}.attn.sr.bias": (d,),
+                    f"{t}.attn.norm.weight": (d,),
+                    f"{t}.attn.norm.bias": (d,)})
+    sd = _rand_sd(shapes, rng)
+    converted, leftovers = convert_official_twins(sd)
+    assert sorted(leftovers) == ["norm.bias", "norm.weight"], leftovers
+
+    model = PCPVT(embed_dims=dims, num_heads=heads, depths=depths,
+                  sr_ratios=srs, mlp_ratios=mlps, out_indices=(0, 1))
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 32, 32, 3), jnp.float32))
+    # official twins has no per-stage out norms; those stay at init
+    got = _flat_shapes(converted["params"])
+    want = _flat_shapes(init["params"])
+    extra = sorted(set(got) - set(want))
+    assert not extra, extra[:6]
+    missing = sorted(set(want) - set(got))
+    assert all(p[0].startswith("out_norm") for p in missing), missing[:6]
+    bad = [(p, got[p], want[p]) for p in got if got[p] != want[p]]
+    assert not bad, bad[:6]
+
+
+def test_official_twins_svt_lsa_branch(rng):
+    """SVT: even blocks are locally-grouped attention with a fused qkv in
+    the official checkpoint — exercises the converter's LSA branch."""
+    from peanut_tpu.models.backbones_zoo import PCPVT
+    from peanut_tpu.models.zoo_import import convert_official_twins
+
+    d = 8
+    shapes = {
+        "patch_embeds.0.proj.weight": (d, 3, 4, 4),
+        "patch_embeds.0.proj.bias": (d,),
+        "patch_embeds.0.norm.weight": (d,), "patch_embeds.0.norm.bias": (d,),
+        "pos_block.0.proj.0.weight": (d, 1, 3, 3),
+        "pos_block.0.proj.0.bias": (d,)}
+    for j, lsa in ((0, True), (1, False)):  # even LSA, odd GSA (sr=1)
+        t = f"blocks.0.{j}"
+        shapes.update({
+            f"{t}.norm1.weight": (d,), f"{t}.norm1.bias": (d,),
+            f"{t}.norm2.weight": (d,), f"{t}.norm2.bias": (d,),
+            f"{t}.attn.proj.weight": (d, d), f"{t}.attn.proj.bias": (d,),
+            f"{t}.mlp.fc1.weight": (2 * d, d), f"{t}.mlp.fc1.bias": (2 * d,),
+            f"{t}.mlp.fc2.weight": (d, 2 * d), f"{t}.mlp.fc2.bias": (d,)})
+        if lsa:
+            shapes.update({f"{t}.attn.qkv.weight": (3 * d, d),
+                           f"{t}.attn.qkv.bias": (3 * d,)})
+        else:
+            shapes.update({f"{t}.attn.q.weight": (d, d),
+                           f"{t}.attn.q.bias": (d,),
+                           f"{t}.attn.kv.weight": (2 * d, d),
+                           f"{t}.attn.kv.bias": (2 * d,)})
+    converted, leftovers = convert_official_twins(_rand_sd(shapes, rng))
+    assert leftovers == [], leftovers
+
+    model = PCPVT(embed_dims=(d,), num_heads=(2,), depths=(2,),
+                  sr_ratios=(1,), mlp_ratios=(2,), windows=(3,),
+                  out_indices=(0,))
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 16, 16, 3), jnp.float32))
+    got = _flat_shapes(converted["params"])
+    want = _flat_shapes(init["params"])
+    assert not sorted(set(got) - set(want))
+    missing = sorted(set(want) - set(got))
+    assert all(p[0].startswith("out_norm") for p in missing), missing[:6]
