@@ -10,11 +10,12 @@ buffering the next ROI's HBM->VMEM window copy behind the current ROI's two
 hat-matrix contractions (pooled = A_y @ W @ A_x^T, exactly roi_align.py::
 contract without the final /cnt, which the caller applies).
 
-A grid step processes ``lanes`` ROIs (auto-sized to the VMEM budget): the
-per-step fixed cost (index prefetch, branch setup, DMA issue latency) is
-several times the ~1 us window copy + two small-M contractions, so
-amortizing it over 4 ROIs per step roughly halves the box-stage ROIAlign
-time at the serving geometry.  All ``lanes`` window copies of a step are
+A grid step processes ``lanes`` ROIs (auto-sized to the VMEM budget),
+amortizing the per-step fixed cost (index prefetch, branch setup, DMA
+issue latency) over the lane count — measured 1.08x over single-ROI
+steps at the serving geometry on v5e (scripts/validate_roi_lanes.py;
+the DMA stream, not the step overhead, is the bound there, so the gain
+is modest but free).  All ``lanes`` window copies of a step are
 in flight concurrently, and the NEXT step's copies are still prefetched
 behind the current step's compute (double buffering, 2x``lanes`` buffers).
 
@@ -42,10 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 # VMEM spent on window double-buffers; v5e has 16 MiB less program scratch
 _WBUF_BUDGET = 8 * 1024 * 1024
-# lane default: "1" = single-ROI steps (hardware-validated round 2);
-# "auto" = multi-lane (numerics proven in interpret mode; flips to default
-# once the multi-lane program is compile-validated on the real chip)
-_DEFAULT_LANES = "1"
+# lane default: "auto" = multi-lane (k ROIs per grid step).  Hardware-
+# validated round 3 (scripts/validate_roi_lanes.py on v5e: bit-equal to
+# the single-ROI program at the serving geometry, 1.08x); "1" forces the
+# round-2 single-ROI program.
+_DEFAULT_LANES = "auto"
 
 
 def _contract(ay, ax, w, win_y, win_x, p, c):

@@ -154,18 +154,28 @@ class MaskRCNN(nn.Module):
                 jnp.take_along_axis(deltas, idx[..., None], axis=1),
                 anchors[idx])
             boxes = clip_boxes(boxes, img_h, img_w)
-            kept_scores = jax.vmap(
-                lambda b, s: nms_fixed(b, s, RPN_NMS_THRESH))(
-                boxes, top_scores)
             if k < RPN_PRE_NMS_TOPK:
+                # pad BEFORE NMS: -inf scores are invalid there (cannot
+                # keep or suppress), so the kept set is unchanged
                 pad = RPN_PRE_NMS_TOPK - k
                 boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
-                kept_scores = jnp.pad(kept_scores, ((0, 0), (0, pad)),
-                                      constant_values=-jnp.inf)
+                top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)),
+                                     constant_values=-jnp.inf)
             all_boxes.append(boxes)
-            all_scores.append(kept_scores)
-        boxes = jnp.concatenate(all_boxes, axis=1)
-        scores = jnp.concatenate(all_scores, axis=1)
+            all_scores.append(top_scores)
+        # ONE batched NMS over (level, image): per-level NMS programs are
+        # independent, and nms_fixed's fixed-point loop is latency- not
+        # FLOP-bound, so folding the level axis into the vmap batch runs
+        # the 5 level solves concurrently instead of back-to-back
+        stk_boxes = jnp.stack(all_boxes)              # (L, B, K, 4)
+        stk_scores = jnp.stack(all_scores)            # (L, B, K)
+        lb = stk_boxes.shape[0] * stk_boxes.shape[1]
+        kept = jax.vmap(lambda b, s: nms_fixed(b, s, RPN_NMS_THRESH))(
+            stk_boxes.reshape(lb, -1, 4), stk_scores.reshape(lb, -1))
+        kept = kept.reshape(stk_scores.shape)
+        # level-major concat order matches the former per-level append
+        boxes = jnp.concatenate(list(stk_boxes), axis=1)
+        scores = jnp.concatenate(list(kept), axis=1)
         top_scores, idx = jax.lax.top_k(scores, RPN_POST_NMS_TOPK)
         return jnp.take_along_axis(boxes, idx[..., None], axis=1), top_scores
 
