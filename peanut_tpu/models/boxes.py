@@ -100,18 +100,22 @@ def nms_fixed(boxes, scores, iou_threshold: float, block: int = 64):
     sup = ((iou > iou_threshold) & tri).astype(jnp.float32)
     validf = valid.astype(jnp.float32)
 
+    # Iteration bound: the first L/U disagreement index strictly increases
+    # each round, so n rounds always suffice — the cap never changes the
+    # result, it only bounds worst-case latency on adversarial suppression
+    # chains (each round costs two (n, n) contractions).
     def cond(state):
-        low, up = state
-        return jnp.any(low != up)
+        low, up, it = state
+        return jnp.any(low != up) & (it < n)
 
     def body(state):
-        low, _ = state
+        low, _, it = state
         up = validf * (1.0 - jnp.sign(low @ sup))
         low2 = validf * (1.0 - jnp.sign(up @ sup))
-        return low2, up
+        return low2, up, it + 1
 
-    low, up = jax.lax.while_loop(
-        cond, body, (jnp.zeros_like(validf), validf))
+    low, up, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros_like(validf), validf, jnp.int32(0)))
     keep = jnp.zeros(n, bool).at[order].set(up > 0)
     return jnp.where(keep, scores, -jnp.inf)
 

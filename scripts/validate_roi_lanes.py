@@ -1,10 +1,21 @@
 """Hardware validation for the multi-lane ROI window kernel.
 
-Runs ``roi_window_pool`` at the serving geometry with lanes forced to 1
-(the round-2 hardware-validated single-ROI program) and lanes=auto (the
-k-ROIs-per-step variant), checks bit-equality of the pooled outputs, and
-times both.  Passing on the real chip is the gate for flipping
-``kernels/roi_window._DEFAULT_LANES`` to "auto".
+Bit-checks EVERY lane count ``_pick_lanes`` can select (2/4/8) against the
+lanes=1 single-ROI program — not just the one auto picks at the serving
+geometry.  Two geometries are exercised:
+
+  * serving (win 48, C=256): only lanes=2 fits the 8 MiB VMEM window
+    budget; larger counts are reported as skipped-by-budget (auto can
+    never pick them here).
+  * small (win 16, C=128): lanes 2, 4 AND 8 all fit, covering the counts
+    auto selects at smaller windows/channels.
+
+Timing blocks on the pooled output itself (``block_until_ready``); the
+checksum host fetch happens once for correctness only, so the reported
+delta is the kernel's, not the reduce+transfer overhead's.
+
+Passing on the real chip is the gate for ``kernels/roi_window.
+_DEFAULT_LANES = "auto"``.
 
 Usage: python scripts/validate_roi_lanes.py [--iters 8]
 """
@@ -22,57 +33,73 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--rois", type=int, default=8000,
-                    help="box-stage population: 8 images x 1000 proposals")
-    args = ap.parse_args()
-
-    import jax
+def run_geometry(name, hp, wp, c, win, n, iters):
     import jax.numpy as jnp
     from peanut_tpu.kernels import roi_window
 
     rng = np.random.RandomState(0)
-    # serving-shaped stacked pyramid: sumH x maxW x 256 bf16 (p2..p5 of
-    # 800x1088 stacked along H = 200+100+50+25 rows, 272 cols) + DMA pad
-    win_y = win_x = 48
-    hp, wp, c = 375 + win_y, 272 + win_x, 256
-    flat = jnp.asarray(rng.rand(hp, wp, c).astype(np.float32),
+    p = 7
+    flat = jnp.asarray(rng.rand(hp + win, wp + win, c).astype(np.float32),
                        jnp.bfloat16)
-    n, p = args.rois, 7
-    ay = jnp.asarray(rng.rand(n, p, win_y).astype(np.float32))
-    ax = jnp.asarray(rng.rand(n, p, win_x).astype(np.float32))
-    row0 = jnp.asarray(rng.randint(0, hp - win_y, n), jnp.int32)
-    col0 = jnp.asarray((rng.randint(0, (wp - win_x) // 8, n) * 8),
-                       jnp.int32)
+    ay = jnp.asarray(rng.rand(n, p, win).astype(np.float32))
+    ax = jnp.asarray(rng.rand(n, p, win).astype(np.float32))
+    row0 = jnp.asarray(rng.randint(0, hp, n), jnp.int32)
+    col0 = jnp.asarray(rng.randint(0, wp // 8, n) * 8, jnp.int32)
 
     def run(lanes: str):
         os.environ["PEANUT_ROI_LANES"] = lanes
         roi_window.roi_window_pool.clear_cache()
         fn = lambda: roi_window.roi_window_pool(
-            flat, ay, ax, row0, col0, win_y=win_y, win_x=win_x)
+            flat, ay, ax, row0, col0, win_y=win, win_x=win)
         out = fn()
-        s = float(jnp.sum(out))          # sync through the tunnel
+        out.block_until_ready()               # warm (compile)
+        checksum = float(jnp.sum(out))        # one-time correctness sync
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            s = float(jnp.sum(fn()))
-        dt = (time.perf_counter() - t0) / args.iters * 1000
-        return np.asarray(out), dt, s
+        for _ in range(iters):
+            out = fn()
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters * 1000
+        return np.asarray(out), dt, checksum
 
+    print(f"[{name}] win={win} C={c} n={n}")
     out1, t1, _ = run("1")
-    print(f"lanes=1    {t1:8.1f} ms / {n} ROIs")
-    outk, tk, _ = run("auto")
-    print(f"lanes=auto {tk:8.1f} ms / {n} ROIs  (speedup {t1 / tk:.2f}x)")
+    print(f"  lanes=1  {t1:8.2f} ms / {n} ROIs")
+    ok = True
+    itemsize = 2  # bf16 windows
+    for k in (2, 4, 8):
+        if n % k:
+            print(f"  lanes={k}  skipped (n % {k} != 0)")
+            continue
+        need = 2 * k * win * win * c * itemsize
+        if need > roi_window._WBUF_BUDGET:
+            print(f"  lanes={k}  skipped by VMEM budget "
+                  f"({need / 2 ** 20:.1f} MiB > "
+                  f"{roi_window._WBUF_BUDGET / 2 ** 20:.0f} MiB; auto can "
+                  "never pick it at this geometry)")
+            continue
+        outk, tk, _ = run(str(k))
+        equal = np.array_equal(out1, outk)
+        ok &= equal
+        status = "bit-equal" if equal else \
+            f"DIFFERS max {np.abs(out1 - outk).max():.3e}"
+        print(f"  lanes={k}  {tk:8.2f} ms  (vs lanes=1: {t1 / tk:.2f}x)  "
+              f"{status}")
+    os.environ.pop("PEANUT_ROI_LANES", None)
+    return ok
 
-    if np.array_equal(out1, outk):
-        print("OUTPUT: bit-equal")
-        ok = True
-    else:
-        diff = np.abs(out1 - outk)
-        print(f"OUTPUT: differs, max abs {diff.max():.3e} "
-              f"({(diff > 0).mean() * 100:.4f}% cells)")
-        ok = False
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    ok = True
+    # serving geometry: stacked p2..p5 pyramid of 800x1088 (375 rows x
+    # 272 cols x 256), box-stage population 8 x 1000 ROIs
+    ok &= run_geometry("serving", 375, 272, 256, 48, 8000, args.iters)
+    # small geometry where lanes 4 and 8 fit the budget (the counts auto
+    # selects for smaller windows/channels)
+    ok &= run_geometry("small", 192, 144, 128, 16, 4096, args.iters)
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 
