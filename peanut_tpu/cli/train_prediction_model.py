@@ -69,22 +69,43 @@ def main(argv=None):
     from ..models import build_segmentor, init_segmentor_params
     from ..models.builder import peanut_prediction_config
     from ..prediction.dataset import (SemMapDataset, PrefetchLoader,
-                                      training_pipeline)
+                                      GlobalShardedLoader, training_pipeline)
     from ..prediction.runner import IterRunner
     from ..prediction.train import (TrainConfig, create_train_state,
                                     make_train_step, poly_schedule)
 
+    # Synced seed across hosts (reference apis/train.py:44-49 broadcasts
+    # the seed over the process group): rank 0's --seed wins everywhere so
+    # every process draws the SAME epoch permutation to rank-stride.
+    n_proc = jax.process_count()
+    seed = ns.seed
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+
+        seed = int(multihost_utils.broadcast_one_to_all(
+            np.int32(ns.seed)))
+
+    # --batch_size is the GLOBAL batch (the reference recipe's batch 8);
+    # each process loads batch/process_count samples of every global step
+    if ns.batch_size % n_proc:
+        raise SystemExit(f"--batch_size {ns.batch_size} must be divisible "
+                         f"by the process count {n_proc}")
+    local_bs = ns.batch_size // n_proc
+
     tcfg = TrainConfig(lr=ns.lr, max_iters=ns.max_iters,
-                       batch_size=ns.batch_size, seed=ns.seed,
+                       batch_size=ns.batch_size, seed=seed,
                        log_interval=ns.log_interval,
                        checkpoint_interval=ns.checkpoint_interval)
 
-    rng = np.random.RandomState(ns.seed)
+    rng = np.random.RandomState(seed)
     dataset = SemMapDataset(ns.data_root, ns.img_dir,
                             pipeline=training_pipeline(ns.crop_size, rng=rng))
-    loader = PrefetchLoader(dataset, tcfg.batch_size, seed=ns.seed,
-                            num_workers=ns.num_workers)
-    logging.info("Loaded %d samples", len(dataset))
+    loader = PrefetchLoader(dataset, local_bs, seed=seed,
+                            num_workers=ns.num_workers,
+                            num_shards=n_proc,
+                            shard_id=jax.process_index())
+    logging.info("Loaded %d samples (%d processes x local batch %d)",
+                 len(dataset), n_proc, local_bs)
 
     if ns.config:
         from ..core.config_file import load_config
@@ -104,7 +125,11 @@ def main(argv=None):
 
     n_dev = jax.device_count()
     mesh = make_mesh({"data": n_dev}) if n_dev > 1 else None
-    step_fn, _ = make_train_step(model, tcfg, tx, mesh=mesh)
+    step_fn, data_sh = make_train_step(model, tcfg, tx, mesh=mesh)
+    if mesh is not None:
+        # per-process local batches -> one globally-sharded array per step
+        # (jit would otherwise see only this host's rows on multi-host)
+        loader = GlobalShardedLoader(loader, data_sh)
 
     runner = IterRunner(step_fn, state, loader, tcfg, ns.work_dir,
                         auto_resume=not ns.no_resume)

@@ -236,15 +236,37 @@ class PrefetchLoader:
     Replaces torch DataLoader (mmseg datasets/builder.py:90-175): worker
     threads decode + augment .npz samples while the device trains, a bounded
     queue provides backpressure (double buffering host->HBM).
+
+    Multi-host sharding (``num_shards``/``shard_id``) replicates the
+    reference's DistributedSampler (mmseg samplers/distributed_sampler.py:
+    13-48): every shard draws the SAME synced-seed permutation per epoch,
+    pads it by wraparound to a multiple of the shard count, and takes the
+    rank-strided slice ``order[shard_id::num_shards]`` — so shards see
+    disjoint sample streams whose union per epoch is the whole dataset.
+    ``batch_size`` is the PER-SHARD batch (reference samples_per_gpu).
     """
 
     def __init__(self, dataset, batch_size: int, seed: int = 0,
-                 num_workers: int = 4, queue_depth: int = 4):
+                 num_workers: int = 4, queue_depth: int = 4,
+                 num_shards: int = 1, shard_id: int = 0):
+        if not (0 <= shard_id < num_shards):
+            raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.num_workers = num_workers
         self.queue_depth = queue_depth
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+
+    def _epoch_order(self, rng) -> np.ndarray:
+        order = rng.permutation(len(self.dataset))
+        if self.num_shards > 1:
+            total = -(-len(order) // self.num_shards) * self.num_shards
+            if total > len(order):       # wraparound pad (reference :33-35)
+                order = np.concatenate([order, order[:total - len(order)]])
+            order = order[self.shard_id::self.num_shards]
+        return order
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         import queue as queue_mod
@@ -258,7 +280,7 @@ class PrefetchLoader:
         def producer():
             epoch = 0
             while not stop.is_set():
-                order = rng.permutation(len(self.dataset))
+                order = self._epoch_order(rng)
                 for start in range(0, len(order) - self.batch_size + 1,
                                    self.batch_size):
                     idx_q.put(order[start:start + self.batch_size])
@@ -285,3 +307,33 @@ class PrefetchLoader:
                 yield out_q.get()
         finally:
             stop.set()
+
+
+class GlobalShardedLoader:
+    """Assemble per-process local batches into globally-sharded jax.Arrays.
+
+    The multi-host half of the DistributedSampler replacement: each process
+    iterates its OWN rank-strided ``PrefetchLoader`` and contributes its
+    local numpy batch; ``jax.make_array_from_process_local_data`` stitches
+    the shards into one global array laid out by ``shardings`` (the
+    train step's batch sharding, e.g. batch axis over mesh 'data').  The
+    global batch therefore equals process-count x per-process batch, with
+    process p owning rows [p*local_bs, (p+1)*local_bs) — no host ever
+    materializes another host's samples.  Single-process meshes degrade to
+    a committed device_put (identical values, one fewer copy at dispatch).
+
+    Reference analog: mmseg datasets/builder.py:90-175 building per-rank
+    DataLoaders whose outputs MMDistributedDataParallel consumes rank-local.
+    """
+
+    def __init__(self, loader, shardings: Dict):
+        self.loader = loader
+        self.shardings = shardings
+
+    def __iter__(self):
+        import jax
+
+        for batch in self.loader:
+            yield {k: jax.make_array_from_process_local_data(
+                self.shardings[k], np.ascontiguousarray(v))
+                for k, v in batch.items()}

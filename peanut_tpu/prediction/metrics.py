@@ -133,3 +133,49 @@ class EvalHook:
         res = self.evaluate_fn(state)
         self.history.append({"iter": it, **res})
         return res
+
+
+# ----------------------------------------------------------------------
+# Multi-host evaluation: cross-process result gathering
+# ----------------------------------------------------------------------
+
+def gather_strided_results(local: np.ndarray, n_total: int,
+                           world: Optional[int] = None,
+                           allgather=None) -> np.ndarray:
+    """Gather per-sample result arrays computed on rank-strided dataset
+    shards, returned in ORIGINAL dataset order.
+
+    The TPU equivalent of the reference's ``collect_results_cpu``
+    (mmseg/apis/test.py:176-233): rank r evaluates samples
+    ``range(r, n_total, world)`` and passes its (k_r, ...) per-sample
+    array; every rank receives the (n_total, ...) array ordered by sample
+    index, so downstream reductions are bit-identical to a single-process
+    pass over the same data.
+
+    ``world``/``allgather`` are injectable for distributed-without-a-
+    cluster tests (the reference's own pattern,
+    prediction/tests/test_utils/test_util_distribution.py); defaults come
+    from the live jax process group.
+    """
+    local = np.asarray(local)
+    if world is None:
+        import jax
+
+        world = jax.process_count()
+    if world == 1:
+        if len(local) != n_total:
+            raise ValueError(f"expected {n_total} samples, got {len(local)}")
+        return local
+    if allgather is None:
+        from jax.experimental import multihost_utils
+
+        allgather = multihost_utils.process_allgather
+    k_max = -(-n_total // world)
+    padded = np.zeros((k_max,) + local.shape[1:], local.dtype)
+    padded[:len(local)] = local
+    gathered = np.asarray(allgather(padded))      # (world, k_max, ...)
+    out = np.zeros((n_total,) + local.shape[1:], local.dtype)
+    for r in range(world):
+        cnt = len(range(r, n_total, world))
+        out[r::world] = gathered[r][:cnt]
+    return out

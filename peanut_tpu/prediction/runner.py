@@ -62,6 +62,7 @@ class IterRunner:
             for k, v in metrics.items():
                 window.setdefault(k, []).append(v)
 
+            is_primary = jax.process_index() == 0
             if it % cfg.log_interval == 0:
                 # materialize lazily: one host sync per log window
                 means = {k: float(np.mean([np.asarray(x) for x in v]))
@@ -74,10 +75,11 @@ class IterRunner:
                 rec = {"iter": it, "time_per_iter": round(1.0 / ips, 4),
                        "eta_min": round(eta_s / 60, 1), **
                        {k: round(v, 5) for k, v in means.items()}}
-                for hook in self.loggers:
-                    hook.log(rec)
-                with open(self.log_path, "a") as f:
-                    f.write(json.dumps(rec) + "\n")
+                if is_primary:  # rank-0-only text/JSONL output (mmcv analog)
+                    for hook in self.loggers:
+                        hook.log(rec)
+                    with open(self.log_path, "a") as f:
+                        f.write(json.dumps(rec) + "\n")
 
             if self.eval_hook is not None:
                 res = self.eval_hook.maybe_run(it, self.state)
@@ -86,7 +88,11 @@ class IterRunner:
                     with open(self.log_path, "a") as f:
                         f.write(json.dumps({"iter": it, "eval": res}) + "\n")
 
-            if it % cfg.checkpoint_interval == 0 or it == max_iters:
+            if (it % cfg.checkpoint_interval == 0 or it == max_iters) \
+                    and is_primary:
+                # params/opt state are replicated, so process 0 holds the
+                # whole tree; other hosts skip the write (reference analog:
+                # mmcv CheckpointHook is rank-0-only)
                 path = os.path.join(self.work_dir, f"iter_{it}")
                 save_checkpoint(path, jax.tree.map(np.asarray, self.state),
                                 step=it)
