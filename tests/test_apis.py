@@ -11,6 +11,7 @@ from peanut_tpu.utils.loggers import (TextLoggerHook, WandbLoggerHook,
 from test_models import small_pspnet_config
 
 
+@pytest.mark.slow
 def test_init_and_inference_segmentor():
     bundle = apis.init_segmentor({"model": small_pspnet_config(16)},
                                  input_size=32)

@@ -29,6 +29,7 @@ def _run(name, cfg, in_ch=3, size=32, b=1, n_outs=None):
     return outs
 
 
+@pytest.mark.slow
 def test_resnext():
     outs = _run("ResNeXt", dict(depth=50, groups=4, base_width=4,
                                 base_channels=16, stem_channels=16),
@@ -36,12 +37,14 @@ def test_resnext():
     assert outs[-1].shape[-1] == 16 * 8 * 4  # planes*expansion at stage 4
 
 
+@pytest.mark.slow
 def test_resnest():
     outs = _run("ResNeSt", dict(depth=50, base_channels=8, stem_channels=8,
                                 radix=2), n_outs=4)
     assert outs[0].shape[1] == 8  # stride 4
 
 
+@pytest.mark.slow
 def test_mobilenet_v3():
     outs = _run("MobileNetV3", dict(arch="small", out_indices=(0, 1, 12)),
                 n_outs=3)
@@ -49,18 +52,21 @@ def test_mobilenet_v3():
     _run("MobileNetV3", dict(arch="large", out_indices=(1, 3, 16)), n_outs=3)
 
 
+@pytest.mark.slow
 def test_fast_scnn():
     higher, lower, fusion = _run("FastSCNN", dict(), size=64, n_outs=3)
     assert higher.shape[1] == 8 and lower.shape[1] == 2
     assert fusion.shape[1] == 8 and fusion.shape[-1] == 128
 
 
+@pytest.mark.slow
 def test_cgnet():
     outs = _run("CGNet", dict(num_blocks=(2, 2)), size=64, n_outs=3)
     assert outs[0].shape[1] == 32 and outs[1].shape[1] == 16
     assert outs[2].shape[1] == 8
 
 
+@pytest.mark.slow
 def test_erfnet():
     (out,) = _run("ERFNet", dict(enc_stage_non_bottlenecks=(2, 2),
                                  dec_stages_non_bottleneck=(1, 1)),
@@ -68,6 +74,7 @@ def test_erfnet():
     assert out.shape[1] == 32 and out.shape[-1] == 16
 
 
+@pytest.mark.slow
 def test_bisenetv1():
     outs = _run("BiSeNetV1",
                 dict(backbone_cfg=dict(type="ResNet", depth=18,
@@ -78,6 +85,7 @@ def test_bisenetv1():
     assert outs[0].shape[1] == 8 and outs[0].shape[-1] == 32
 
 
+@pytest.mark.slow
 def test_bisenetv2():
     outs = _run("BiSeNetV2", dict(detail_channels=(8, 8, 16),
                                   semantic_channels=(4, 8, 16, 32),
@@ -85,6 +93,7 @@ def test_bisenetv2():
     assert outs[0].shape[1] == 8 and outs[0].shape[-1] == 16
 
 
+@pytest.mark.slow
 def test_stdc():
     outs = _run("STDCNet", dict(channels=(8, 8, 16, 32, 64)), size=64,
                 n_outs=5)
@@ -98,6 +107,7 @@ def test_stdc():
     assert ctx[0].shape[1] == 8 and ctx[0].shape[-1] == 32
 
 
+@pytest.mark.slow
 def test_icnet():
     outs = _run("ICNet", dict(depth_blocks=(1, 1, 1, 1),
                               psp_out_channels=32,
@@ -106,6 +116,7 @@ def test_icnet():
     assert outs[1].shape[-1] == 16 and outs[2].shape[-1] == 16
 
 
+@pytest.mark.slow
 def test_twins():
     outs = _run("PCPVT", dict(embed_dims=(8, 16, 32, 64),
                               num_heads=(1, 2, 4, 8), depths=(1, 1, 1, 1),

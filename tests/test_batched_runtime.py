@@ -139,14 +139,18 @@ def test_mesh_sharded_runtime_matches_unsharded():
     import jax
     from peanut_tpu.core.mesh import make_mesh
 
-    cfg = small_cfg()
+    # Tiny geometry on purpose: this test proves sharding TRANSPARENCY
+    # (device layout must not change behavior), which a 128-cell map
+    # shows as well as a 240-cell one at ~6x less compile+solve time
+    # (the full geometry run lives in the driver's dryrun_multichip).
+    cfg = small_cfg(map_size_cm=640, prediction_window=64, vision_range=24)
     n = 8
     steps = 10
     pm = tiny_prediction_model(cfg)
 
     def rollout(mesh):
         runtime = BatchedNavRuntime(cfg, n, prediction_model=pm, mesh=mesh)
-        envs = [FakeNavEnv(cfg, size_m=12.0, seed=100 + i,
+        envs = [FakeNavEnv(cfg, size_m=6.0, seed=100 + i,
                            max_steps=steps + 5) for i in range(n)]
         obs = [e.reset() for e in envs]
         for i in range(n):

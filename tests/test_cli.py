@@ -49,6 +49,7 @@ def test_collect_maps_cli_writes_npz(tmp_path):
         assert maps.shape[0] == 20
 
 
+@pytest.mark.slow
 def test_benchmark_cli(capsys):
     from peanut_tpu.cli import benchmark
 
@@ -59,6 +60,7 @@ def test_benchmark_cli(capsys):
     assert rec["maps_per_sec"] > 0
 
 
+@pytest.mark.slow
 def test_serve_http_roundtrip(tmp_path):
     """cli/serve.py (torchserve counterpart): ping + predictions + probs
     endpoints over a tiny segmentor, exercised through real HTTP."""

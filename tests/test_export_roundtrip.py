@@ -38,6 +38,7 @@ def test_pth_export_import_roundtrip(tmp_path):
                                    err_msg=str(k))
 
 
+@pytest.mark.slow
 def test_stablehlo_export_roundtrip(tmp_path):
     """AOT export (cli/export.py): serialize the compiled inference program
     and verify the deserialized artifact reproduces the outputs."""

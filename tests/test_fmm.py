@@ -132,6 +132,7 @@ def test_order2_point_source_accuracy():
     assert err2 < 0.5 * err1  # materially better than first order
 
 
+@pytest.mark.slow
 def test_order2_below_first_order():
     """First-order Godunov only overestimates; the refinement can only
     bring values down (and never below the Euclidean lower bound)."""
@@ -151,6 +152,7 @@ def test_order2_below_first_order():
     assert (d2[finite] >= lower[finite] - 1e-3).all()
 
 
+@pytest.mark.slow
 def test_order2_slit_diffraction():
     """Wall with a 1-cell slit: beyond the slit the field is a point
     source re-expansion (geodesic = src->slit + slit->cell)."""

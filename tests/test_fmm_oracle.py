@@ -77,6 +77,7 @@ def compare(trav, src, **kw):
     return err.max(), err.mean(), want, got
 
 
+@pytest.mark.slow
 def test_fmm_matches_marching_oracle_floorplans():
     """20 random cluttered 240^2 floor plans, point + blob goals."""
     worst = (0.0, 0.0)

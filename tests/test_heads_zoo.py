@@ -131,6 +131,7 @@ def _tiny_backbone_cfg():
                 base_channels=8, stem_channels=8, in_channels=3)
 
 
+@pytest.mark.slow
 def test_cascade_ocr_forward():
     cfg = dict(
         num_stages=2,

@@ -234,6 +234,7 @@ def test_roi_align_multilevel_fpn_elongated(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_roi_align_serving_geometry_elongated(rng):
     """The 800x1088 serving geometry with the advisor's exact failure case
     (a 200x60 px level-0 box spanning 50 cells vs the old win=40) plus the

@@ -125,6 +125,7 @@ def test_inference_returns_raw_logits(oracle_and_flax, rng):
     assert float(jnp.max(jnp.abs(logits))) > 1.0 or float(jnp.min(logits)) < 0.0
 
 
+@pytest.mark.slow
 def test_slide_inference_matches_whole_on_uniform(rng):
     cfg = small_pspnet_config(16)
     cfg["test_cfg"] = dict(mode="slide", stride=(16, 16), crop_size=(32, 32))

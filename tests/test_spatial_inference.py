@@ -7,6 +7,7 @@ on the virtual CPU mesh.
 """
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -15,6 +16,7 @@ from peanut_tpu.core.mesh import make_mesh
 from peanut_tpu.prediction import PredictionModel
 
 
+@pytest.mark.slow
 def test_spatial_sharded_prediction_matches():
     cfg = NavConfig(num_sem_categories=10, prediction_window=128)
     # narrow model: full structure, tiny tensors (same recipe as the

@@ -84,6 +84,7 @@ def test_pipeline_shapes_and_determinism(tmp_path):
     assert set(np.unique(s["gt"])) <= {0.0, 255.0}  # nearest keeps labels
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(tmp_path):
     model = tiny_model()
     variables = init_segmentor_params(model, (1, 32, 32, 14), train=True)
@@ -103,6 +104,7 @@ def test_train_step_reduces_loss(tmp_path):
     assert int(state.step) == 8
 
 
+@pytest.mark.slow
 def test_runner_checkpoints_and_resumes(tmp_path):
     write_fake_maps(tmp_path / "train", map_size=32)
     ds = SemMapDataset(str(tmp_path), "train",
@@ -130,6 +132,7 @@ def test_runner_checkpoints_and_resumes(tmp_path):
     assert os.path.isdir(os.path.join(work, "iter_4"))
 
 
+@pytest.mark.slow
 def test_dp_sharded_step_matches_single(tmp_path):
     """Mesh-sharded train step computes the same update as unsharded."""
     model = tiny_model()
@@ -153,6 +156,7 @@ def test_dp_sharded_step_matches_single(tmp_path):
                                float(m_shard["loss"]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_remat_model_matches_plain():
     """remat=True must be numerically identical (same params, same loss,
     same grads) — it only changes what backward stores."""

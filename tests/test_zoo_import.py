@@ -328,6 +328,7 @@ def test_mmcls_convnext_converter(rng):
     _assert_same(converted["params"], init["params"])
 
 
+@pytest.mark.slow
 def test_convnext_forward_shapes(rng):
     from peanut_tpu.models.convnext import ConvNeXt
 
