@@ -67,6 +67,21 @@ class DeviceState(NamedTuple):
     last_goal_valid: jnp.ndarray  # (B,) bool
 
 
+class TickHandle(NamedTuple):
+    """In-flight tick: the async device output plus the host-side values
+    the collect phase needs (act_batch_dispatch -> act_batch_collect)."""
+    packed: object             # (B, 125) device array, still computing
+    starts: np.ndarray
+    starts_exact: np.ndarray
+    lmb_new: np.ndarray
+    goal_cats: np.ndarray
+    no_erode: np.ndarray
+    is_toilet: np.ndarray
+    poses_new: np.ndarray
+    trig: np.ndarray
+    stop_now: np.ndarray
+
+
 @dataclass
 class EnvSlot:
     """Per-episode host scalars (the sequential state machines)."""
@@ -683,6 +698,16 @@ class BatchedNavRuntime:
     # per-tick pipeline
     # ==================================================================
     def act_batch(self, observations: Sequence[Dict]) -> List[Dict]:
+        return self.act_batch_collect(self.act_batch_dispatch(observations))
+
+    def act_batch_dispatch(self, observations: Sequence[Dict]
+                           ) -> "TickHandle":
+        """Phase 1: host bookkeeping + launch this tick's device program
+        (async — returns as soon as the program is enqueued).  The caller
+        may do arbitrary host work (e.g. step OTHER envs) before
+        ``act_batch_collect`` blocks on the output.  Collect(t) must run
+        before dispatch(t+1) on the same runtime: the host state machines
+        mutated here assume the previous tick's results landed."""
         cfg = self.cfg
         n = self.n
         T = self.timer
@@ -806,10 +831,27 @@ class BatchedNavRuntime:
         with T.stage("upload"):
             args_d = (jnp.asarray(sem_u8), jnp.asarray(depth_cm),
                       jnp.asarray(hp), jnp.asarray(idxs))
-        with T.stage("tick_program"):
+        with T.stage("dispatch"):
+            # async: the fused program is enqueued; nothing blocks until
+            # collect fetches the packed download
             self.state, packed = fn(self.state, *args_d)
-            packed = np.asarray(packed)
         self._clear_pending()
+        return TickHandle(packed, starts, starts_exact, lmb_new, goal_cats,
+                          no_erode, is_toilet, poses_new, trig, stop_now)
+
+    def act_batch_collect(self, h: "TickHandle") -> List[Dict]:
+        """Phase 2: block on the tick program's packed download, then run
+        the host planning tail (STG extraction, rare fallbacks, action
+        rules) and advance the per-episode step counters."""
+        cfg = self.cfg
+        n = self.n
+        T = self.timer
+        (starts, starts_exact, lmb_new, goal_cats, no_erode, is_toilet,
+         poses_new, trig, stop_now) = (h.starts, h.starts_exact, h.lmb_new,
+                                       h.goal_cats, h.no_erode, h.is_toilet,
+                                       h.poses_new, h.trig, h.stop_now)
+        with T.stage("tick_wait"):
+            packed = np.asarray(h.packed)
 
         k = 11
         windows = packed[:, :k * k].reshape(n, k, k)
