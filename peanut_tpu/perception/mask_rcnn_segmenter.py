@@ -86,6 +86,14 @@ class MaskRCNNSegmenter:
         self.chunk = int(getattr(cfg, "seg_batch_chunk", 8) or 8)
         self._seg_program = None  # built lazily (device path)
 
+    def _detect_stage(self, variables, imgs):
+        """The detect sub-stage of the fused device seg program: padded
+        preprocessed chunk -> {boxes, scores, classes, masks}.  Overridable
+        (tests swap in a deterministic synthetic head while keeping the
+        REAL preprocess / chunking / paste / gating programs live)."""
+        return self.model.apply(variables, imgs,
+                                method=self.model.detect_batch)
+
     # ------------------------------------------------------------------
     # fully on-device path: uint8 RGB in, (B, n_sem, fh, fw) f32 sem out.
     # No host round trip — preprocessing (BGR, shortest-edge resize, mean
@@ -170,8 +178,7 @@ class MaskRCNNSegmenter:
             imgc = img.reshape(nch, chunk, ph, pw, 3)
 
             def run_chunk(ic):
-                det = model.apply(variables, ic.astype(serve_dtype),
-                                  method=model.detect_batch)
+                det = self._detect_stage(variables, ic.astype(serve_dtype))
                 return {k: v.astype(jnp.float32) for k, v in det.items()}
 
             dets = jax.lax.map(run_chunk, imgc)
