@@ -89,7 +89,13 @@ def bench_prednet():
         float(fwd_sum(bf16_vars, xs[i % 2]))
     dt = time.perf_counter() - t0
     maps_per_sec = batch * iters / dt
-    return {
+
+    # MFU/roofline context (VERDICT r3 item 6): XLA's own cost analysis of
+    # the served program is the FLOP numerator (reference counterpart:
+    # prediction/tools/get_flops.py)
+    from peanut_tpu.utils.profiler import flops_estimate
+    flops = flops_estimate(fwd_sum, bf16_vars, xs[0])   # per batch call
+    out = {
         "metric": "prednet_720x720_maps_per_sec_per_chip",
         "value": round(maps_per_sec, 3),
         "unit": "maps/s",
@@ -97,6 +103,11 @@ def bench_prednet():
         "baseline_provenance": "mmseg-zoo PSPNet-R50-d8 512x1024 V100 fp32 "
                                "(2.48 img/s), not a measured reference run",
     }
+    if flops:
+        out["tflops_per_map"] = round(flops / batch / 1e12, 3)
+        out["mfu_estimate"] = round(
+            flops / (dt / iters) / 197e12, 4)           # bf16 v5e peak
+    return out
 
 
 def bench_seg():
@@ -153,6 +164,18 @@ def bench_seg():
     mask_fn = jax.jit(lambda v, py, b, c_: model.apply(
         v, py, b, c_, method=model.mask_inference))
 
+    # Each stage sample includes one dispatch + checksum-reduce + scalar
+    # D2H fetch; measure that fixed overhead with a trivial program and
+    # subtract it so the stages are ADDITIVE against the e2e time
+    # (VERDICT r3 item 5 — the raw per-stage numbers summed to ~1.7x e2e).
+    tiny = jnp.zeros((8,), jnp.float32)
+    sync_fn = jax.jit(jnp.sum)
+    float(sync_fn(tiny))
+    t1 = time.perf_counter()
+    for _ in range(8):
+        float(sync_fn(tiny))
+    t_sync = (time.perf_counter() - t1) / 8 * 1000
+
     def t_stage(fn, *a):
         out = fn(*a)
         float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
@@ -160,7 +183,7 @@ def bench_seg():
         for _ in range(4):
             out = fn(*a)
             float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
-        return out, (time.perf_counter() - t1) / 4 * 1000
+        return out, max((time.perf_counter() - t1) / 4 * 1000 - t_sync, 0.0)
 
     x0 = xs[0].astype(jnp.bfloat16)
     pyramid, t_feat = t_stage(feat_fn, bf16_vars, x0)
@@ -187,6 +210,9 @@ def bench_seg():
                      "rpn_proposals": round(t_prop, 1),
                      "box_head_roialign_nms": round(t_box, 1),
                      "mask_head_roialign": round(t_mask, 1)},
+        "stage_sum_ms": round(t_feat + t_prop + t_box + t_mask, 1),
+        "e2e_ms_per_batch": round(dt / iters * 1000, 1),
+        "sync_overhead_ms": round(t_sync, 1),
         "mfu_estimate": round(mfu, 4),
         "baseline_provenance": "detectron2-zoo mask_rcnn_R_101_FPN_3x V100 "
                                "(0.056 s/im = 17.9 img/s), not a measured "
@@ -194,9 +220,9 @@ def bench_seg():
     }
 
 
-def bench_env_steps(n_envs: int = 16, ticks: int = 60):
-    """Batched ObjectNav runtime, full production models (random weights,
-    identical compute), synthetic raycast envs at challenge geometry."""
+def _run_env_profile(n_envs: int, ticks: int, pipeline: int = 1, **cfg_kw):
+    """One measured env-bench profile; returns (steps/s, tick stats,
+    per-tick stage breakdown from the runtime's StageTimer)."""
     import jax
     import jax.numpy as jnp
     from peanut_tpu.config import NavConfig
@@ -207,7 +233,7 @@ def bench_env_steps(n_envs: int = 16, ticks: int = 60):
     from peanut_tpu.models.mask_rcnn import MaskRCNN
 
     cfg = NavConfig(use_gt_seg=0, exact_parity=False, serve_bf16=True,
-                    dd_downscale=2)
+                    **cfg_kw)
     pm = PredictionModel(cfg)  # full PSPNet-R50 at 720^2 (random weights)
     model = MaskRCNN(num_classes=cfg.num_sem_categories - 1)
     img = jnp.zeros((800, 1088, 3), jnp.float32)
@@ -220,14 +246,16 @@ def bench_env_steps(n_envs: int = 16, ticks: int = 60):
         cfg,
         [lambda s=s: FakeNavEnv(cfg, size_m=14.0, seed=s)
          for s in range(n_envs)],
-        prediction_model=pm, segmenter=segmenter)
+        prediction_model=pm, segmenter=segmenter,
+        **({"pipeline": pipeline} if pipeline != 1 else {}))
 
     runner.reset_all()
     for _ in range(5):  # warmup (compile all tick program variants)
         runner.tick()
     # rare data-dependent paths (replan / goal magnify) compile here, NOT
     # inside the first measured tick that happens to trigger them
-    runner.runtime.warmup_rare_paths()
+    runner.warmup_rare_paths()
+    runner.reset_timers()   # steady-state stage stats only
 
     tick_ms = []
     t0 = time.perf_counter()
@@ -238,15 +266,46 @@ def bench_env_steps(n_envs: int = 16, ticks: int = 60):
     dt = time.perf_counter() - t0
     med = float(np.median(tick_ms))
     sps = n_envs * ticks / dt
+    # per-tick stage breakdown (VERDICT r3 item 1a): total stage seconds /
+    # measured ticks — stages that run less than once per tick (replan,
+    # magnify, prediction) amortize honestly instead of reporting a
+    # misleading per-call mean
+    stage_ms = {name: round(total_s / ticks * 1000, 1)
+                for name, total_s in runner.stage_totals().items()}
     return {
-        "metric": "objectnav_env_steps_per_sec_16env",
-        "value": round(sps, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(sps / BASELINE_ENV_SPS, 2),
-        "envs": n_envs,
+        "steps_per_sec": round(sps, 2),
         "ms_per_tick": round(1000 * dt / ticks, 1),
         "ms_per_tick_median": round(med, 1),
         "steps_per_sec_median": round(n_envs * 1000.0 / med, 2),
+        "stage_ms": stage_ms,
+    }
+
+
+def bench_env_steps(n_envs: int = 16, ticks: int = 60):
+    """Batched ObjectNav runtime, full production models (random weights,
+    identical compute), synthetic raycast envs at challenge geometry.
+
+    Two profiles per run (VERDICT r3 item 1b): the serving profile
+    (dd_downscale=2, the half-resolution goal-weighting approximation) is
+    the headline; the exact profile (dd_downscale=1, reference-faithful
+    full-resolution geodesic field) rides along so fidelity-faithful
+    throughput is always on record.
+    """
+    serving = _run_env_profile(n_envs, ticks, dd_downscale=2)
+    exact = _run_env_profile(n_envs, max(ticks // 2, 10), dd_downscale=1)
+    sps = serving["steps_per_sec"]
+    return {
+        "metric": "objectnav_env_steps_per_sec_16env",
+        "value": sps,
+        "unit": "steps/s",
+        "vs_baseline": round(sps / BASELINE_ENV_SPS, 2),
+        "envs": n_envs,
+        "ms_per_tick": serving["ms_per_tick"],
+        "ms_per_tick_median": serving["ms_per_tick_median"],
+        "steps_per_sec_median": serving["steps_per_sec_median"],
+        "stage_ms": serving["stage_ms"],
+        "exact_mode": {k: exact[k] for k in
+                       ("steps_per_sec", "ms_per_tick", "stage_ms")},
         "baseline_provenance": "estimated reference single-process loop "
                                "~2.5 steps/s on V100; north-star = 10x",
     }

@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--ticks", type=int, default=50)
     ap.add_argument("--gt_seg", action="store_true",
                     help="skip Mask R-CNN (ground-truth segmentation)")
+    ap.add_argument("--pipeline", type=int, default=1,
+                    help="split the batch into k software-pipelined "
+                         "half-batches (device tick overlaps env stepping)")
+    ap.add_argument("--dd_downscale", type=int, default=2,
+                    help="goal-weighting field resolution divisor "
+                         "(1 = exact reference-faithful mode)")
     ns = ap.parse_args()
 
     from peanut_tpu.config import NavConfig
@@ -45,7 +51,7 @@ def main():
     # fast compute paths (dense splat, windowed warp); exact_parity stays
     # available for bit-comparable map collection
     cfg = NavConfig(use_gt_seg=1 if ns.gt_seg else 0, exact_parity=False,
-                    serve_bf16=True, dd_downscale=2)
+                    serve_bf16=True, dd_downscale=ns.dd_downscale)
     pm = PredictionModel(cfg)  # full PSPNet-R50 at 720^2 (random weights)
 
     segmenter = None
@@ -67,15 +73,15 @@ def main():
         cfg,
         [lambda s=s: FakeNavEnv(cfg, size_m=14.0, seed=s) for s in
          range(ns.envs)],
-        prediction_model=pm, segmenter=segmenter)
+        prediction_model=pm, segmenter=segmenter, pipeline=ns.pipeline)
 
     # warmup (compile all tick programs, incl. the data-dependent replan /
     # magnify programs, which otherwise compile inside a measured tick)
     runner.reset_all()
     for _ in range(3):
         runner.tick()
-    runner.runtime.warmup_rare_paths()
-    runner.runtime.timer.samples.clear()   # report steady state only
+    runner.warmup_rare_paths()
+    runner.reset_timers()                  # report steady state only
 
     t0 = time.perf_counter()
     for _ in range(ns.ticks):
@@ -84,7 +90,8 @@ def main():
 
     import os as _os
     if _os.environ.get("PEANUT_TICK_PROFILE"):
-        print(runner.runtime.timer.report())
+        for rt in runner.runtimes:
+            print(rt.timer.report())
     steps_per_sec = ns.envs * ns.ticks / dt
     print(json.dumps({
         "metric": "objectnav_env_steps_per_sec",
@@ -93,6 +100,10 @@ def main():
         "envs": ns.envs,
         "seg": "gt" if ns.gt_seg else "mask_rcnn_r101",
         "ms_per_tick": round(1000 * dt / ns.ticks, 1),
+        "pipeline": ns.pipeline,
+        "dd_downscale": ns.dd_downscale,
+        "stage_ms": {k: round(v / ns.ticks * 1000, 1)
+                     for k, v in runner.stage_totals().items()},
     }))
 
 

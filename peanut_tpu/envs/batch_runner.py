@@ -4,6 +4,19 @@ Steps all environments in a host thread pool while the device executes the
 batched per-tick programs; finished episodes reset in place (their device
 slots are cleared) so the batch stays full.  Throughput metric: total env
 steps per wall second across the batch (BASELINE config 5).
+
+``pipeline=k`` (k > 1) splits the batch into k independent half-batches,
+each with its own ``BatchedNavRuntime``, and software-pipelines them
+(VERDICT r3 item 1c): while half A's fused tick program executes on the
+device, half B's host work runs — observation preprocessing, detect-chunk
+dispatch, planning tails, and env stepping.  The reference loop
+(/root/reference/nav/collect.py:44-84) is strictly serial per step; the
+unpipelined tick here already overlaps detect with env stepping, but the
+fused tick program itself still serialized with the hosts' env stepping.
+Per-episode behavior is unchanged — each half-batch runtime computes
+exactly what it would compute at batch n/k (batch-size transparency is
+asserted by tests/test_batched_runtime.py), so actions and episode
+metrics are bit-identical to ``pipeline=1``.
 """
 
 from __future__ import annotations
@@ -20,51 +33,112 @@ from ..config import NavConfig
 
 class BatchRunner:
     def __init__(self, cfg: NavConfig, env_fns: List[Callable],
-                 runtime: Optional[BatchedNavRuntime] = None, **runtime_kw):
+                 runtime: Optional[BatchedNavRuntime] = None,
+                 pipeline: int = 1, **runtime_kw):
         self.cfg = cfg
         self.envs = [fn() for fn in env_fns]
         self.n = len(self.envs)
-        self.runtime = runtime or BatchedNavRuntime(cfg, self.n, **runtime_kw)
+        if runtime is not None and pipeline != 1:
+            raise ValueError("pipeline > 1 builds its own runtimes; "
+                             "pass runtime_kw instead of a runtime")
+        if self.n % pipeline:
+            raise ValueError(f"{self.n} envs not divisible by "
+                             f"pipeline={pipeline}")
+        self.pipeline = pipeline
+        self.per = self.n // pipeline
+        if pipeline == 1:
+            self.runtimes = [runtime or
+                             BatchedNavRuntime(cfg, self.n, **runtime_kw)]
+        else:
+            self.runtimes = [BatchedNavRuntime(cfg, self.per, **runtime_kw)
+                             for _ in range(pipeline)]
+        self.runtime = self.runtimes[0]
+        self._halves = [list(range(k * self.per, (k + 1) * self.per))
+                        for k in range(pipeline)]
         self._pool = ThreadPoolExecutor(max_workers=min(self.n, 16))
+        # separate executor for the per-half orchestration tasks, so they
+        # can't starve the env-step pool they submit into (no deadlock)
+        self._half_pool = ThreadPoolExecutor(max_workers=max(pipeline, 1))
         self.metrics: List[Dict] = []
         self.total_steps = 0
+
+    # -- pipeline-aware accessors -------------------------------------
+    def warmup_rare_paths(self):
+        for rt in self.runtimes:
+            rt.warmup_rare_paths()
+
+    def reset_timers(self):
+        for rt in self.runtimes:
+            rt.timer.reset()
+
+    def stage_totals(self) -> Dict[str, float]:
+        """Per-stage total seconds summed over all half-batch runtimes."""
+        out: Dict[str, float] = {}
+        for rt in self.runtimes:
+            for name, s in rt.timer.summary().items():
+                out[name] = out.get(name, 0.0) + s["total_s"]
+        return out
+
+    def _runtime_of(self, i: int):
+        return self.runtimes[i // self.per], i % self.per
 
     def reset_all(self):
         self.obs = list(self._pool.map(lambda e: e.reset(), self.envs))
         for i in range(self.n):
-            self.runtime.reset_env(i)
+            rt, j = self._runtime_of(i)
+            rt.reset_env(j)
+
+    # ------------------------------------------------------------------
+    def _step_env(self, i: int, action: Dict, upload) -> int:
+        """Step env i, reset it in place if the episode ended; returns 1
+        when an episode finished."""
+        env = self.envs[i]
+        obs = env.step(action)
+        done = 0
+        if env.episode_over:
+            self.metrics.append(env.get_metrics())
+            obs = env.reset()
+            rt, j = self._runtime_of(i)
+            rt.reset_env(j)
+            done = 1
+        if upload is not None:
+            # start this env's host->HBM observation copy NOW, while the
+            # other envs are still stepping (double-buffered uploads —
+            # BASELINE north star)
+            upload(obs)
+        self.obs[i] = obs
+        return done
+
+    def _step_half(self, k: int, actions: List[Dict]) -> int:
+        rt = self.runtimes[k]
+        upload = getattr(rt, "stage_obs", None)
+        idxs = self._halves[k]
+        return sum(self._pool.map(
+            lambda ia: self._step_env(ia[0], ia[1], upload),
+            zip(idxs, actions)))
 
     def tick(self) -> int:
         """One device tick + one env step per episode; returns the number
         of episodes that finished (and were reset in place)."""
-        actions = self.runtime.act_batch(self.obs)
-        upload = getattr(self.runtime, "stage_obs", None)
+        if self.pipeline == 1:
+            rt = self.runtimes[0]
+            actions = rt.act_batch(self.obs)
+            done = self._step_half(0, actions)
+            self.total_steps += self.n
+            return done
 
-        def step_one(i):
-            env = self.envs[i]
-            obs = env.step(actions[i])
-            if env.episode_over:
-                m = env.get_metrics()
-                obs = env.reset()
-            else:
-                m = None
-            if upload is not None:
-                # start this env's host->HBM observation copy NOW, while
-                # the other envs are still stepping (double-buffered
-                # uploads — BASELINE north star)
-                upload(obs)
-            return obs, m
-
-        results = list(self._pool.map(step_one, range(self.n)))
+        # software pipeline: enqueue every half's device program first
+        # (half k+1's host preprocess overlaps half k's device execution),
+        # then collect + env-step each half while the next one computes
+        handles = [rt.act_batch_dispatch([self.obs[i] for i in half])
+                   for rt, half in zip(self.runtimes, self._halves)]
+        futs = []
+        for k, rt in enumerate(self.runtimes):
+            actions = rt.act_batch_collect(handles[k])
+            futs.append(self._half_pool.submit(self._step_half, k, actions))
+        done = sum(f.result() for f in futs)
         self.total_steps += self.n
-        episodes_done = 0
-        for i, (obs, m) in enumerate(results):
-            self.obs[i] = obs
-            if m is not None:
-                self.metrics.append(m)
-                episodes_done += 1
-                self.runtime.reset_env(i)
-        return episodes_done
+        return done
 
     def run(self, max_ticks: int, max_episodes: Optional[int] = None):
         """Run until max_ticks device ticks (or max_episodes finish)."""

@@ -57,7 +57,11 @@ def run_geometry(name, hp, wp, c, win, n, iters):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn()
-        out.block_until_ready()
+        # one device-scalar fetch closes the timed window: the axon tunnel
+        # does not honour block_until_ready reliably, and a single fetch
+        # amortized over `iters` adds ~RTT/iters of bias instead of the
+        # per-iteration reduce+transfer the old loop paid
+        float(jnp.sum(out))
         dt = (time.perf_counter() - t0) / iters * 1000
         return np.asarray(out), dt, checksum
 
