@@ -350,6 +350,12 @@ class BatchedNavRuntime:
                 src = jax.vmap(lambda s, r, c: s.at[r, c].set(1.0))(
                     src, agent_r, agent_c)
                 ds = int(getattr(cfg, "dd_downscale", 1))
+                if cfg.dist_weight_temperature <= 0:
+                    # frontier mode thresholds dd at a 60-cell cliff and
+                    # T=-1 ignores dd: the smooth-weighting justification
+                    # for the half-res field does not apply (compile-time
+                    # branch; mirrors agent/state.py::update_global_goal)
+                    ds = 1
                 if ds > 1 and self.Hf % ds == 0 and self.Wf % ds == 0:
                     # serving-profile approximation (PARITY.md): solve the
                     # goal-weighting field on an OR-pooled half-res grid

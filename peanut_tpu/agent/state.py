@@ -317,6 +317,13 @@ class NavAgentState:
                 np.clip(self.loc_c + self.lmb[2], 0, self.full_h - 1)] = 1
 
         ds = int(getattr(cfg, "dd_downscale", 1))
+        if cfg.dist_weight_temperature <= 0:
+            # frontier mode (T=0) thresholds dd at a 60-cell CLIFF, and
+            # T=-1 ignores dd entirely — the smooth-weighting argument
+            # that justifies the half-res approximation does not apply,
+            # so those modes always solve at full resolution
+            # (tests/test_goal_argmax_oracle.py pins the decisions)
+            ds = 1
         if ds > 1 and trav.shape[0] % ds == 0 and trav.shape[1] % ds == 0:
             # serving-profile approximation (PARITY.md): the geodesic field
             # only feeds exp(-dd/temperature) goal weighting (temperature =

@@ -65,13 +65,17 @@ def test_batched_matches_single_env_actions():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("dwt", [-1.0, 0.0])
-def test_batched_matches_single_dist_weight_modes(dwt):
+@pytest.mark.parametrize("dwt,dds", [(-1.0, 1), (0.0, 1), (0.0, 2)])
+def test_batched_matches_single_dist_weight_modes(dwt, dds):
     """dist_weight_temperature -1 (no weighting) and 0 (frontier mode,
     agent_state.py:402-407) must flow through the fused tick, not only the
-    single-env path (VERDICT r2 item 5)."""
+    single-env path (VERDICT r2 item 5).  The (0.0, 2) case pins the
+    dd_downscale guard: T<=0 forces a full-resolution geodesic field in
+    BOTH paths (the half-res approximation is unsound against frontier
+    mode's 60-cell cliff — see tests/test_goal_argmax_oracle.py)."""
     cfg = small_cfg()
     cfg.dist_weight_temperature = dwt
+    cfg.dd_downscale = dds
     n = 2
     seeds = [5, 23]
     steps = 15

@@ -1,0 +1,253 @@
+"""Goal-selection decision parity vs the marching oracle (VERDICT r3 #4).
+
+``update_global_goal``'s argmax over ``pred x exp(-dd/lambda)`` (reference
+agent_state.py:376-415) is the decision the 960^2 eikonal drift could
+plausibly flip: the sweeping solver undershoots the marching fixed point by
+up to ~45 cells on 1300-cell geodesics (PARITY.md delta 1), and the serving
+profile additionally solves the field at half resolution (delta 6).  This
+test closes the "weights are ~2e-6 out there" *argument* with a measured
+bar: on cluttered challenge-geometry (960^2) plans plus the committed
+golden map, the ACTUAL ``NavAgentState.update_global_goal`` runs with the
+sweeping solver (dd_downscale 1 AND 2, temperatures {500, -1, 0}) and is
+compared against a twin whose geodesic field comes from the heap-based
+order-2 marching oracle (tests/heap_fmm_oracle.py).
+
+Pass = the selected goal cell matches the oracle argmax, or its value under
+the ORACLE field is within epsilon of the oracle-argmax value (equal-value
+ties and sub-epsilon preference inversions are not behavioral divergence:
+the goal is re-selected every update_goal_freq steps from a re-solved
+field).
+
+Measured over 20 plans x 6 configs + golden map (calibration run, seeds
+300-319): exact argmax matches in all temperature=-1 cases (dd unused) and
+the overwhelming majority of others; the worst oracle-value ratio of a
+mismatched pick was >= 0.98 at ds=1 and >= 0.94 at ds=2 (the half-res
+field quantizes dd to 2-cell steps, so near-ties flip more often there).
+Bars below carry margin on those measurements.
+
+The first run of this test at challenge geometry caught a REAL unsound
+composition: at T=0 x ds=2, the half-res field's frontier pick landed
+>5 oracle-cells off the 60-cell ring (seed 319) — the smooth-weighting
+argument justifying dd_downscale does not apply to T<=0's cliff/ignore
+modes.  The product now forces full resolution there
+(agent/state.py::update_global_goal, batched_runtime tick), and the
+ds=2 x T<=0 cases below pin that guard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from heap_fmm_oracle import heap_fmm
+from test_fmm_oracle import make_floorplan
+
+from peanut_tpu.agent.state import NavAgentState
+from peanut_tpu.config import NavConfig
+from peanut_tpu.kernels.morphology import np_binary_dilation
+
+
+class _StubPM:
+    """update_global_goal never touches the prediction model."""
+
+
+def challenge_cfg(**kw):
+    base = dict(map_size_cm=4800, map_resolution=5, global_downscaling=2,
+                num_sem_categories=10, fmm_sweeps=2, use_gt_seg=1)
+    base.update(kw)
+    return NavConfig(**base)
+
+
+def gaussian_bumps(rng, shape, cells, peaks, sigma=12.0):
+    """Sum of Gaussian bumps at ``cells`` with the given peak heights."""
+    h, w = shape
+    yy, xx = np.mgrid[:h, :w].astype(np.float64)
+    out = np.zeros(shape)
+    for (cy, cx), p in zip(cells, peaks):
+        out += p * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2)
+                          / (2 * sigma ** 2))
+    return out
+
+
+def build_state(cfg, occ, rng):
+    """A real NavAgentState at challenge geometry with a synthetic plan:
+    occupancy in full_map[0], the agent at a free cell near the window
+    centre, and a multi-bump target prediction over the local window."""
+    state = NavAgentState(cfg, prediction_model=_StubPM())
+    state.reset()
+    state.full_map[0] = occ
+
+    trav = np_binary_dilation(np.rint(occ), state.selem) != True  # noqa: E712
+    # agent: free (dilated-traversible) cell nearest the window centre
+    cy = (state.lmb[0] + state.lmb[1]) // 2
+    cx = (state.lmb[2] + state.lmb[3]) // 2
+    free = np.argwhere(trav[state.lmb[0]:state.lmb[1],
+                            state.lmb[2]:state.lmb[3]])
+    d2 = ((free[:, 0] + state.lmb[0] - cy) ** 2
+          + (free[:, 1] + state.lmb[2] - cx) ** 2)
+    ar, ac = free[np.argmin(d2)]
+    state.loc_r, state.loc_c = int(ar), int(ac)
+    # normally set by the first update_state; the synthetic plan skips it
+    state.global_goals = [[0, 0]]
+
+    # target prediction: bumps at free local cells spanning near -> far
+    k = 8
+    picks = free[rng.choice(len(free), size=k, replace=False)]
+    peaks = rng.uniform(0.2, 1.0, size=k)
+    state.target_pred = gaussian_bumps(
+        rng, (state.local_w, state.local_h), picks, peaks)
+    return state
+
+
+def oracle_value(state, cfg, dd_override=None):
+    """Line-for-line twin of NavAgentState.update_global_goal
+    (peanut_tpu/agent/state.py:305-361) with the sweeping solver replaced
+    by the full-resolution marching oracle.  Returns (value, dd_full)."""
+    trav = np_binary_dilation(np.rint(state.full_map[0]),
+                              state.selem) != True  # noqa: E712
+    trav = trav.astype(float)
+    sources = np.zeros_like(trav)
+    sources[np.clip(state.loc_r + state.lmb[0], 0, state.full_w - 1),
+            np.clip(state.loc_c + state.lmb[2], 0, state.full_h - 1)] = 1
+
+    if dd_override is None:
+        dd = heap_fmm(trav > 0, sources > 0)
+        fin = np.isfinite(dd)
+        dd = np.where(fin, dd, dd[fin].max() + 1.0)  # masked_fill semantics
+    else:
+        dd = dd_override.copy()
+    dd[dd == np.max(dd)] = np.inf
+
+    temperature = cfg.dist_weight_temperature / cfg.map_resolution
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        dd_wt = np.exp(-dd / temperature)[state.lmb[0]:state.lmb[1],
+                                          state.lmb[2]:state.lmb[3]]
+    if cfg.dist_weight_temperature > 0:
+        # agent on free space: the reuse fallback must not trigger (for
+        # T in {-1, 0} the weights are unused/degenerate by construction,
+        # exactly as in the real method)
+        assert np.sum(dd_wt) >= 10
+
+    if cfg.dist_weight_temperature == -1:
+        value = state.target_pred
+    elif cfg.dist_weight_temperature == 0:
+        dd2 = dd.copy()
+        dd2[dd2 < 60] = np.inf
+        value = np.exp(-dd2 / 100.0)[state.lmb[0]:state.lmb[1],
+                                     state.lmb[2]:state.lmb[3]]
+    else:
+        value = state.target_pred * dd_wt
+    return value, dd
+
+
+def oracle_dd_filled(state):
+    """The marching-oracle geodesic field for a state's plan + agent cell,
+    with masked_fill semantics applied (compute ONCE per plan: it does not
+    depend on dd_downscale or temperature)."""
+    trav = np_binary_dilation(np.rint(state.full_map[0]),
+                              state.selem) != True  # noqa: E712
+    sources = np.zeros(trav.shape, bool)
+    sources[np.clip(state.loc_r + state.lmb[0], 0, state.full_w - 1),
+            np.clip(state.loc_c + state.lmb[2], 0, state.full_h - 1)] = True
+    dd = heap_fmm(trav, sources)
+    fin = np.isfinite(dd)
+    return np.where(fin, dd, dd[fin].max() + 1.0)
+
+
+def run_case(state, cfg, dd_filled):
+    """Solver decision (the real method) vs oracle decision.
+
+    Returns (match, ratio): ratio = oracle-value of the solver's pick /
+    oracle-value of the oracle's pick (1.0 when the cells coincide).
+
+    T=0 (frontier mode) is a CLIFF function of dd — value = exp(-dd/100)
+    masked to dd >= 60 — so a pick the oracle measures at 59.9 cells has
+    oracle-value 0 despite being 5 mm from equivalent.  There the epsilon
+    criterion lives on the geodesic distance instead: the solver's pick
+    must sit on the oracle's just-past-60-cells frontier ring within the
+    half-res quantization tolerance (2*ds cells + 1 for the order-2
+    sweeping-vs-marching gap at ~60-cell geodesics)."""
+    state.dd_wt = None
+    state.last_global_goal = None
+    state.update_global_goal()
+    gs = tuple(state.global_goals[0])
+
+    value_o, dd_o = oracle_value(state, cfg, dd_override=dd_filled)
+    go = np.unravel_index(value_o.argmax(), value_o.shape)
+    if gs == tuple(go):
+        return True, 1.0
+
+    if cfg.dist_weight_temperature == 0:
+        ds = int(cfg.dd_downscale)
+        tol = 2.0 * ds + 1.0
+        d_solver = dd_o[gs[0] + state.lmb[0], gs[1] + state.lmb[2]]
+        d_oracle = dd_o[go[0] + state.lmb[0], go[1] + state.lmb[2]]
+        on_ring = (d_solver >= 60.0 - tol) and (d_solver <= d_oracle + tol)
+        return False, 1.0 if on_ring else 0.0
+
+    top = value_o[go]
+    mine = value_o[gs]
+    return False, float(mine / top) if top > 0 else 0.0
+
+
+CONFIGS = [(1, 500.0), (1, -1.0), (1, 0.0),
+           (2, 500.0), (2, -1.0), (2, 0.0)]
+# minimum oracle-value ratio for a non-matching pick, per dd_downscale
+RATIO_BAR = {1: 0.95, 2: 0.90}
+
+
+@pytest.mark.slow
+def test_goal_argmax_matches_oracle_960():
+    """20 cluttered 960^2 plans x {dd_downscale 1, 2} x {T 500, -1, 0}:
+    the selected goal cell matches the oracle argmax or is an epsilon-tie
+    under the oracle's own value field."""
+    worst = {1: 1.0, 2: 1.0}
+    mismatches = 0
+    for seed in range(300, 320):
+        rng = np.random.RandomState(seed)
+        occ = ~make_floorplan(rng, n=960, room=160, wall_t=3, door=14,
+                              clutter=250)
+        # the oracle field depends only on the plan + agent cell (identical
+        # across configs for a seed) — solve it once per plan (~45 s each)
+        ref_state = build_state(challenge_cfg(), occ.astype(np.float32),
+                                np.random.RandomState(seed))
+        dd_filled = oracle_dd_filled(ref_state)
+        for ds, temp in CONFIGS:
+            cfg = challenge_cfg(dd_downscale=ds,
+                                dist_weight_temperature=temp)
+            rng_c = np.random.RandomState(seed)  # same plan/bumps per cfg
+            state = build_state(cfg, occ.astype(np.float32), rng_c)
+            match, ratio = run_case(state, cfg, dd_filled)
+            if temp == -1.0:
+                # dd unused: the argmax must be bit-identical
+                assert match, f"seed {seed} ds {ds}: T=-1 argmax differs"
+            elif not match:
+                mismatches += 1
+                worst[ds] = min(worst[ds], ratio)
+                assert ratio >= RATIO_BAR[ds], (
+                    f"seed {seed} ds {ds} T {temp}: solver pick has oracle "
+                    f"value ratio {ratio:.4f} (< {RATIO_BAR[ds]})")
+    # sanity: sub-epsilon flips must stay the exception, not the rule
+    assert mismatches <= 24, f"{mismatches}/80 non-trivial cases flipped"
+
+
+@pytest.mark.slow
+def test_goal_argmax_matches_oracle_golden_map():
+    """The committed golden navigation map (sparse obstacles, open space):
+    every config must match the oracle argmax exactly or epsilon-tie."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", "golden_maps",
+                        "f00000.npz")
+    occ = (np.load(path)["maps"][0, 0] > 0).astype(np.float32)
+    full = np.zeros((960, 960), np.float32)
+    full[:occ.shape[0], :occ.shape[1]] = occ
+    ref_state = build_state(challenge_cfg(), full, np.random.RandomState(42))
+    dd_filled = oracle_dd_filled(ref_state)
+    for ds, temp in CONFIGS:
+        cfg = challenge_cfg(dd_downscale=ds, dist_weight_temperature=temp)
+        rng = np.random.RandomState(42)
+        state = build_state(cfg, full, rng)
+        match, ratio = run_case(state, cfg, dd_filled)
+        assert match or ratio >= RATIO_BAR[ds], (
+            f"golden map ds {ds} T {temp}: ratio {ratio:.4f}")
