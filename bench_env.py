@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--dd_downscale", type=int, default=2,
                     help="goal-weighting field resolution divisor "
                          "(1 = exact reference-faithful mode)")
+    ap.add_argument("--dd_order", type=int, default=1,
+                    help="goal-weighting field Godunov order "
+                         "(2 = exact reference-faithful mode)")
     ns = ap.parse_args()
 
     from peanut_tpu.config import NavConfig
@@ -51,7 +54,8 @@ def main():
     # fast compute paths (dense splat, windowed warp); exact_parity stays
     # available for bit-comparable map collection
     cfg = NavConfig(use_gt_seg=1 if ns.gt_seg else 0, exact_parity=False,
-                    serve_bf16=True, dd_downscale=ns.dd_downscale)
+                    serve_bf16=True, dd_downscale=ns.dd_downscale,
+                    dd_order=ns.dd_order)
     pm = PredictionModel(cfg)  # full PSPNet-R50 at 720^2 (random weights)
 
     segmenter = None
@@ -102,6 +106,7 @@ def main():
         "ms_per_tick": round(1000 * dt / ns.ticks, 1),
         "pipeline": ns.pipeline,
         "dd_downscale": ns.dd_downscale,
+        "dd_order": ns.dd_order,
         "stage_ms": {k: round(v / ns.ticks * 1000, 1)
                      for k, v in runner.stage_totals().items()},
     }))

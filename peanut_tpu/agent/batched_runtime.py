@@ -350,12 +350,14 @@ class BatchedNavRuntime:
                 src = jax.vmap(lambda s, r, c: s.at[r, c].set(1.0))(
                     src, agent_r, agent_c)
                 ds = int(getattr(cfg, "dd_downscale", 1))
+                dd_order = int(getattr(cfg, "dd_order", 2))
                 if cfg.dist_weight_temperature <= 0:
                     # frontier mode thresholds dd at a 60-cell cliff and
                     # T=-1 ignores dd: the smooth-weighting justification
-                    # for the half-res field does not apply (compile-time
-                    # branch; mirrors agent/state.py::update_global_goal)
-                    ds = 1
+                    # for the half-res/low-order fields does not apply
+                    # (compile-time branch; mirrors
+                    # agent/state.py::update_global_goal)
+                    ds, dd_order = 1, 2
                 if ds > 1 and self.Hf % ds == 0 and self.Wf % ds == 0:
                     # serving-profile approximation (PARITY.md): solve the
                     # goal-weighting field on an OR-pooled half-res grid
@@ -367,12 +369,13 @@ class BatchedNavRuntime:
                         x.astype(jnp.float32), -jnp.inf, jax.lax.max,
                         (1, ds, ds), (1, ds, ds), "VALID")
                     dd = eikonal_distance(pool(trav) > 0, pool(src) > 0,
-                                          n_iters=cfg.fmm_sweeps) * ds
+                                          n_iters=cfg.fmm_sweeps,
+                                          order=dd_order) * ds
                     dd = masked_fill_unreachable(dd)
                     dd = jnp.repeat(jnp.repeat(dd, ds, axis=1), ds, axis=2)
                 else:
-                    dd = eikonal_distance(trav, src,
-                                          n_iters=cfg.fmm_sweeps)
+                    dd = eikonal_distance(trav, src, n_iters=cfg.fmm_sweeps,
+                                          order=dd_order)
                     dd = masked_fill_unreachable(dd)
                 mx = jnp.max(dd, axis=(1, 2), keepdims=True)
                 dd = jnp.where(dd == mx, jnp.inf, dd)
@@ -979,6 +982,33 @@ class BatchedNavRuntime:
                     d_all = d_all[:, ds // 2::ds, ds // 2::ds]
                 depth_cm[:] = d_all
             return sem_dev, depth_cm
+
+        ds_gt = cfg.env_frame_width // cfg.frame_width
+        if cfg.use_gt_seg == 1 and not hasattr(self.segmenter, "batch") \
+                and hasattr(self.segmenter, "goalseg"):
+            # GroundTruthSegmenter fast path: only the goal channel is
+            # nonzero, so subsample it directly into the uint8 stack
+            # instead of materializing 16 full-res (H, W, 10) f32 stacks
+            # (~200 MB of numpy churn per tick; byte-identical output)
+            for i, o in enumerate(observations):
+                gs = o.get("goalseg")
+                if gs is not None:
+                    sub = np.asarray(gs)[ds_gt // 2::ds_gt,
+                                         ds_gt // 2::ds_gt]
+                    sem_u8[i, int(goal_cats[i])] = np.clip(
+                        sub, 0, 255).astype(np.uint8)
+            if all("_depth_np" in o for o in observations):
+                depth_cm[:] = np.stack(
+                    [o["_depth_np"] for o in observations])
+            else:
+                depth_all = np.stack(
+                    [np.asarray(o["depth"]) for o in observations])
+                d_all = preprocess_depth(depth_all, cfg.min_depth,
+                                         cfg.max_depth)
+                if ds_gt != 1:
+                    d_all = d_all[:, ds_gt // 2::ds_gt, ds_gt // 2::ds_gt]
+                depth_cm[:] = d_all
+            return sem_u8, depth_cm
 
         if hasattr(self.segmenter, "batch"):
             sems = self.segmenter.batch(

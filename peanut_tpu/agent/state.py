@@ -317,13 +317,14 @@ class NavAgentState:
                 np.clip(self.loc_c + self.lmb[2], 0, self.full_h - 1)] = 1
 
         ds = int(getattr(cfg, "dd_downscale", 1))
+        order = int(getattr(cfg, "dd_order", 2))
         if cfg.dist_weight_temperature <= 0:
             # frontier mode (T=0) thresholds dd at a 60-cell CLIFF, and
             # T=-1 ignores dd entirely — the smooth-weighting argument
-            # that justifies the half-res approximation does not apply,
-            # so those modes always solve at full resolution
+            # that justifies the half-res/low-order approximations does
+            # not apply, so those modes always solve exactly
             # (tests/test_goal_argmax_oracle.py pins the decisions)
-            ds = 1
+            ds, order = 1, 2
         if ds > 1 and trav.shape[0] % ds == 0 and trav.shape[1] % ds == 0:
             # serving-profile approximation (PARITY.md): the geodesic field
             # only feeds exp(-dd/temperature) goal weighting (temperature =
@@ -337,11 +338,12 @@ class NavAgentState:
             src_s = sources[:h2 * ds, :w2 * ds].reshape(
                 h2, ds, w2, ds).max(axis=(1, 3))
             dd_s = np.array(masked_fill_unreachable(eikonal_distance(
-                trav_s, src_s, n_iters=cfg.fmm_sweeps))) * ds
+                trav_s, src_s, n_iters=cfg.fmm_sweeps,
+                order=order))) * ds
             dd = np.repeat(np.repeat(dd_s, ds, axis=0), ds, axis=1)
         else:
-            dd = np.array(masked_fill_unreachable(
-                eikonal_distance(trav, sources, n_iters=cfg.fmm_sweeps)))
+            dd = np.array(masked_fill_unreachable(eikonal_distance(
+                trav, sources, n_iters=cfg.fmm_sweeps, order=order)))
         dd[dd == np.max(dd)] = np.inf
 
         temperature = cfg.dist_weight_temperature / cfg.map_resolution

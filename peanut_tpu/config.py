@@ -101,6 +101,13 @@ class NavConfig:
                                  # exp(-dd/T) weighting field on an OR-
                                  # pooled half-res grid, ~4x cheaper; the
                                  # local planning solve is never downscaled)
+    dd_order: int = 2            # goal-weighting field Godunov order;
+                                 # 1 = serving profile (skip the order-2
+                                 # refinement sweeps, ~2x cheaper; decision
+                                 # parity pinned by the goal-argmax oracle
+                                 # suite).  The local planning solve always
+                                 # stays order 2 (skfmm parity).  Like
+                                 # dd_downscale, guarded to T > 0.
     platform: Optional[str] = None  # force jax platform (tests use "cpu")
 
     # ------------------------------------------------------------------

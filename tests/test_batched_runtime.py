@@ -174,11 +174,13 @@ def test_mesh_sharded_runtime_matches_unsharded():
 
 @pytest.mark.slow
 def test_batched_matches_single_dd_downscale():
-    """dd_downscale=2 (serving profile: half-res goal-weighting geodesic
-    field) must produce identical actions in the single-env agent and the
-    fused tick — both paths pool/solve/upsample the same way."""
+    """The serving profile (dd_downscale=2 half-res + dd_order=1 low-order
+    goal-weighting geodesic field) must produce identical actions in the
+    single-env agent and the fused tick — both paths pool/solve/upsample
+    the same way."""
     cfg = small_cfg()
     cfg.dd_downscale = 2
+    cfg.dd_order = 1
     n = 2
     seeds = [7, 31]
     steps = 15

@@ -190,8 +190,11 @@ def run_case(state, cfg, dd_filled):
     return False, float(mine / top) if top > 0 else 0.0
 
 
-CONFIGS = [(1, 500.0), (1, -1.0), (1, 0.0),
-           (2, 500.0), (2, -1.0), (2, 0.0)]
+# (dd_downscale, temperature, dd_order); dd_order=1 is the round-4
+# serving knob (skip the order-2 refinement of the goal-weighting field)
+CONFIGS = [(1, 500.0, 2), (1, -1.0, 2), (1, 0.0, 2),
+           (2, 500.0, 2), (2, -1.0, 2), (2, 0.0, 2),
+           (1, 500.0, 1), (2, 500.0, 1)]
 # minimum oracle-value ratio for a non-matching pick, per dd_downscale
 RATIO_BAR = {1: 0.95, 2: 0.90}
 
@@ -212,8 +215,8 @@ def test_goal_argmax_matches_oracle_960():
         ref_state = build_state(challenge_cfg(), occ.astype(np.float32),
                                 np.random.RandomState(seed))
         dd_filled = oracle_dd_filled(ref_state)
-        for ds, temp in CONFIGS:
-            cfg = challenge_cfg(dd_downscale=ds,
+        for ds, temp, order in CONFIGS:
+            cfg = challenge_cfg(dd_downscale=ds, dd_order=order,
                                 dist_weight_temperature=temp)
             rng_c = np.random.RandomState(seed)  # same plan/bumps per cfg
             state = build_state(cfg, occ.astype(np.float32), rng_c)
@@ -228,7 +231,7 @@ def test_goal_argmax_matches_oracle_960():
                     f"seed {seed} ds {ds} T {temp}: solver pick has oracle "
                     f"value ratio {ratio:.4f} (< {RATIO_BAR[ds]})")
     # sanity: sub-epsilon flips must stay the exception, not the rule
-    assert mismatches <= 24, f"{mismatches}/80 non-trivial cases flipped"
+    assert mismatches <= 36, f"{mismatches}/120 non-trivial cases flipped"
 
 
 @pytest.mark.slow
@@ -244,8 +247,9 @@ def test_goal_argmax_matches_oracle_golden_map():
     full[:occ.shape[0], :occ.shape[1]] = occ
     ref_state = build_state(challenge_cfg(), full, np.random.RandomState(42))
     dd_filled = oracle_dd_filled(ref_state)
-    for ds, temp in CONFIGS:
-        cfg = challenge_cfg(dd_downscale=ds, dist_weight_temperature=temp)
+    for ds, temp, order in CONFIGS:
+        cfg = challenge_cfg(dd_downscale=ds, dd_order=order,
+                            dist_weight_temperature=temp)
         rng = np.random.RandomState(42)
         state = build_state(cfg, full, rng)
         match, ratio = run_case(state, cfg, dd_filled)
