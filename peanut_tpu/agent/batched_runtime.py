@@ -555,6 +555,42 @@ class BatchedNavRuntime:
         goal = np.zeros_like(trav, dtype=bool)
         goal[:, 1, 1] = True
         FMMPlanner.solve_batch(trav, goal, n_iters=self.cfg.fmm_sweeps)
+        self.warmup_tick_variants()
+
+    def warmup_tick_variants(self):
+        """Compile every tick-program variant outside timed regions.
+
+        ``_tick_pred_small`` only dispatches when 1..k_small envs trigger —
+        in lockstep-trigger regimes that can first happen dozens of ticks
+        in, landing a multi-minute tunnel compile inside a measured tick
+        (observed in BENCH r4 serving: one 3.5-min dispatch in tick 40ish).
+        Runs each variant once on zero inputs; device state is mutated
+        (zero-obs map splats) and callers should reset afterwards if they
+        need clean episodes — benches only need steady-state speed."""
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        n = self.n
+        fh, fw = cfg.frame_height, cfg.frame_width
+        if hasattr(self.segmenter, "batch_device"):
+            # the seg path feeds a device f32 sem stack — match its dtype
+            # so the traced program is the one the real loop dispatches
+            sem = jnp.zeros((n, cfg.num_sem_categories, fh, fw),
+                            jnp.float32)
+        else:
+            sem = jnp.zeros((n, cfg.num_sem_categories, fh, fw), jnp.uint8)
+        depth = jnp.zeros((n, fh, fw), jnp.float32)
+        hp = np.zeros((n, self.PACK), np.float32)
+        hp[:, 3:7] = np.stack([s.lmb for s in self.slots])
+        hp[:, 7:11] = hp[:, 3:7]
+        idxs = jnp.zeros(n, np.int32)
+        variants = [self._tick_no_pred]
+        if self.pred_model is not None:
+            variants += [self._tick_pred_small, self._tick_pred_full]
+        for fn in dict.fromkeys(variants):       # dedup small==full case
+            self.state, packed = fn(self.state, sem, depth,
+                                    jnp.asarray(hp), idxs)
+            np.asarray(packed)
 
     # ==================================================================
     # episode lifecycle

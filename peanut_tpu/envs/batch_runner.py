@@ -113,9 +113,12 @@ class BatchRunner:
         rt = self.runtimes[k]
         upload = getattr(rt, "stage_obs", None)
         idxs = self._halves[k]
-        return sum(self._pool.map(
-            lambda ia: self._step_env(ia[0], ia[1], upload),
-            zip(idxs, actions)))
+        with rt.timer.stage("env_phase"):
+            # wall-clock of the whole env-step + obs-staging phase (the
+            # per-tick time OUTSIDE the runtime's own stages)
+            return sum(self._pool.map(
+                lambda ia: self._step_env(ia[0], ia[1], upload),
+                zip(idxs, actions)))
 
     def tick(self) -> int:
         """One device tick + one env step per episode; returns the number
