@@ -44,6 +44,8 @@ def main():
     ap.add_argument("--dd_order", type=int, default=1,
                     help="goal-weighting field Godunov order "
                          "(2 = exact reference-faithful mode)")
+    ap.add_argument("--dd_block", type=int, default=8)
+    ap.add_argument("--dd_inner", type=int, default=24)
     ns = ap.parse_args()
 
     from peanut_tpu.config import NavConfig
@@ -55,7 +57,8 @@ def main():
     # available for bit-comparable map collection
     cfg = NavConfig(use_gt_seg=1 if ns.gt_seg else 0, exact_parity=False,
                     serve_bf16=True, dd_downscale=ns.dd_downscale,
-                    dd_order=ns.dd_order)
+                    dd_order=ns.dd_order, dd_block=ns.dd_block,
+                    dd_inner=ns.dd_inner)
     pm = PredictionModel(cfg)  # full PSPNet-R50 at 720^2 (random weights)
 
     segmenter = None

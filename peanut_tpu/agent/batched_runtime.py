@@ -351,13 +351,15 @@ class BatchedNavRuntime:
                     src, agent_r, agent_c)
                 ds = int(getattr(cfg, "dd_downscale", 1))
                 dd_order = int(getattr(cfg, "dd_order", 2))
+                dd_blk = int(getattr(cfg, "dd_block", 16))
+                dd_inner = int(getattr(cfg, "dd_inner", 40))
                 if cfg.dist_weight_temperature <= 0:
                     # frontier mode thresholds dd at a 60-cell cliff and
                     # T=-1 ignores dd: the smooth-weighting justification
                     # for the half-res/low-order fields does not apply
                     # (compile-time branch; mirrors
                     # agent/state.py::update_global_goal)
-                    ds, dd_order = 1, 2
+                    ds, dd_order, dd_blk, dd_inner = 1, 2, 16, 40
                 if ds > 1 and self.Hf % ds == 0 and self.Wf % ds == 0:
                     # serving-profile approximation (PARITY.md): solve the
                     # goal-weighting field on an OR-pooled half-res grid
@@ -370,12 +372,14 @@ class BatchedNavRuntime:
                         (1, ds, ds), (1, ds, ds), "VALID")
                     dd = eikonal_distance(pool(trav) > 0, pool(src) > 0,
                                           n_iters=cfg.fmm_sweeps,
-                                          order=dd_order) * ds
+                                          order=dd_order, block=dd_blk,
+                                          inner=dd_inner) * ds
                     dd = masked_fill_unreachable(dd)
                     dd = jnp.repeat(jnp.repeat(dd, ds, axis=1), ds, axis=2)
                 else:
                     dd = eikonal_distance(trav, src, n_iters=cfg.fmm_sweeps,
-                                          order=dd_order)
+                                          order=dd_order, block=dd_blk,
+                                          inner=dd_inner)
                     dd = masked_fill_unreachable(dd)
                 mx = jnp.max(dd, axis=(1, 2), keepdims=True)
                 dd = jnp.where(dd == mx, jnp.inf, dd)

@@ -318,13 +318,15 @@ class NavAgentState:
 
         ds = int(getattr(cfg, "dd_downscale", 1))
         order = int(getattr(cfg, "dd_order", 2))
+        blk = int(getattr(cfg, "dd_block", 16))
+        inner = int(getattr(cfg, "dd_inner", 40))
         if cfg.dist_weight_temperature <= 0:
             # frontier mode (T=0) thresholds dd at a 60-cell CLIFF, and
             # T=-1 ignores dd entirely — the smooth-weighting argument
             # that justifies the half-res/low-order approximations does
             # not apply, so those modes always solve exactly
             # (tests/test_goal_argmax_oracle.py pins the decisions)
-            ds, order = 1, 2
+            ds, order, blk, inner = 1, 2, 16, 40
         if ds > 1 and trav.shape[0] % ds == 0 and trav.shape[1] % ds == 0:
             # serving-profile approximation (PARITY.md): the geodesic field
             # only feeds exp(-dd/temperature) goal weighting (temperature =
@@ -339,11 +341,12 @@ class NavAgentState:
                 h2, ds, w2, ds).max(axis=(1, 3))
             dd_s = np.array(masked_fill_unreachable(eikonal_distance(
                 trav_s, src_s, n_iters=cfg.fmm_sweeps,
-                order=order))) * ds
+                order=order, block=blk, inner=inner))) * ds
             dd = np.repeat(np.repeat(dd_s, ds, axis=0), ds, axis=1)
         else:
             dd = np.array(masked_fill_unreachable(eikonal_distance(
-                trav, sources, n_iters=cfg.fmm_sweeps, order=order)))
+                trav, sources, n_iters=cfg.fmm_sweeps, order=order,
+                block=blk, inner=inner)))
         dd[dd == np.max(dd)] = np.inf
 
         temperature = cfg.dist_weight_temperature / cfg.map_resolution

@@ -103,11 +103,19 @@ class NavConfig:
                                  # local planning solve is never downscaled)
     dd_order: int = 2            # goal-weighting field Godunov order;
                                  # 1 = serving profile (skip the order-2
-                                 # refinement sweeps, ~2x cheaper; decision
-                                 # parity pinned by the goal-argmax oracle
-                                 # suite).  The local planning solve always
-                                 # stays order 2 (skfmm parity).  Like
-                                 # dd_downscale, guarded to T > 0.
+                                 # refinement sweeps; time-neutral on the
+                                 # TPU Pallas sweeps, cheaper on the XLA
+                                 # CPU path).  The local planning solve
+                                 # always stays order 2 (skfmm parity).
+                                 # Like dd_downscale, guarded to T > 0.
+    dd_block: int = 16           # goal-weighting field sweep tiling;
+    dd_inner: int = 40           # serving profile uses block=8/inner=24
+                                 # (~1.4x faster, max oracle error 1.55 vs
+                                 # 1.48 cells on 240^2 cluttered plans;
+                                 # decision parity pinned by the goal-
+                                 # argmax oracle suite).  The STG planning
+                                 # solve always keeps the exact tiling.
+                                 # Guarded to T > 0 like dd_downscale.
     platform: Optional[str] = None  # force jax platform (tests use "cpu")
 
     # ------------------------------------------------------------------

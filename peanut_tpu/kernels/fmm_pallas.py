@@ -14,6 +14,7 @@ Used automatically on TPU; tests run it in interpreter mode on CPU.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1.0e10
+
+# Batch-tile VMEM budget for the sweep kernels: bt doubles while
+# 2*bt*block*w*4 bytes stays under this.  The grid over row blocks is
+# SEQUENTIAL (carry dependency), so larger batch tiles directly divide the
+# number of latency-bound grid steps; v5e VMEM comfortably holds the
+# ~12 live (bt, block, w) f32 buffers at bt=16/w=480 (~6 MB).
+_TILE_BUDGET = int(os.environ.get("PEANUT_SWEEP_TILE_BUDGET", 400_000))
 
 
 def _seg_scan_lr(d, wall, w: int, reverse: bool):
@@ -118,7 +126,7 @@ def pallas_block_sweep(d, wall, block: int = 16, inner: int = 40,
     # blocks at small W — "Check failed: d >> 32 == 0" in lower_to_llo)
     bt = 1
     if w > 256:
-        while bt * 2 <= bsz and bt * 2 * block * w * 4 <= 400_000:
+        while bt * 2 <= bsz and bt * 2 * block * w * 4 <= _TILE_BUDGET:
             bt *= 2
     pad_b = (-bsz) % bt
     if pad_b:
@@ -237,7 +245,7 @@ def pallas_block_sweep2(d, wall, src, block: int = 16, inner: int = 40,
 
     bt = 1
     if w > 256:
-        while bt * 2 <= bsz and bt * 2 * block * w * 4 <= 400_000:
+        while bt * 2 <= bsz and bt * 2 * block * w * 4 <= _TILE_BUDGET:
             bt *= 2
     pad_b = (-bsz) % bt
     if pad_b:

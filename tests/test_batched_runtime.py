@@ -181,6 +181,8 @@ def test_batched_matches_single_dd_downscale():
     cfg = small_cfg()
     cfg.dd_downscale = 2
     cfg.dd_order = 1
+    cfg.dd_block = 8
+    cfg.dd_inner = 24
     n = 2
     seeds = [7, 31]
     steps = 15

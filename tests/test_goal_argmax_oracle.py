@@ -195,6 +195,10 @@ def run_case(state, cfg, dd_filled):
 CONFIGS = [(1, 500.0, 2), (1, -1.0, 2), (1, 0.0, 2),
            (2, 500.0, 2), (2, -1.0, 2), (2, 0.0, 2),
            (1, 500.0, 1), (2, 500.0, 1)]
+# the FULL serving profile stacks every dd approximation: half-res,
+# order 1, and the block=8/inner=24 sweep tiling
+SERVING_KW = dict(dd_downscale=2, dist_weight_temperature=500.0,
+                  dd_order=1, dd_block=8, dd_inner=24)
 # minimum oracle-value ratio for a non-matching pick, per dd_downscale
 RATIO_BAR = {1: 0.95, 2: 0.90}
 
@@ -215,9 +219,13 @@ def test_goal_argmax_matches_oracle_960():
         ref_state = build_state(challenge_cfg(), occ.astype(np.float32),
                                 np.random.RandomState(seed))
         dd_filled = oracle_dd_filled(ref_state)
-        for ds, temp, order in CONFIGS:
-            cfg = challenge_cfg(dd_downscale=ds, dd_order=order,
-                                dist_weight_temperature=temp)
+        cases = [dict(dd_downscale=ds, dd_order=order,
+                      dist_weight_temperature=temp)
+                 for ds, temp, order in CONFIGS] + [dict(SERVING_KW)]
+        for kw in cases:
+            ds = kw["dd_downscale"]
+            temp = kw["dist_weight_temperature"]
+            cfg = challenge_cfg(**kw)
             rng_c = np.random.RandomState(seed)  # same plan/bumps per cfg
             state = build_state(cfg, occ.astype(np.float32), rng_c)
             match, ratio = run_case(state, cfg, dd_filled)
@@ -228,10 +236,10 @@ def test_goal_argmax_matches_oracle_960():
                 mismatches += 1
                 worst[ds] = min(worst[ds], ratio)
                 assert ratio >= RATIO_BAR[ds], (
-                    f"seed {seed} ds {ds} T {temp}: solver pick has oracle "
+                    f"seed {seed} {kw}: solver pick has oracle "
                     f"value ratio {ratio:.4f} (< {RATIO_BAR[ds]})")
     # sanity: sub-epsilon flips must stay the exception, not the rule
-    assert mismatches <= 36, f"{mismatches}/120 non-trivial cases flipped"
+    assert mismatches <= 42, f"{mismatches}/140 non-trivial cases flipped"
 
 
 @pytest.mark.slow
@@ -247,11 +255,13 @@ def test_goal_argmax_matches_oracle_golden_map():
     full[:occ.shape[0], :occ.shape[1]] = occ
     ref_state = build_state(challenge_cfg(), full, np.random.RandomState(42))
     dd_filled = oracle_dd_filled(ref_state)
-    for ds, temp, order in CONFIGS:
-        cfg = challenge_cfg(dd_downscale=ds, dd_order=order,
-                            dist_weight_temperature=temp)
+    cases = [dict(dd_downscale=ds, dd_order=order,
+                  dist_weight_temperature=temp)
+             for ds, temp, order in CONFIGS] + [dict(SERVING_KW)]
+    for kw in cases:
+        cfg = challenge_cfg(**kw)
         rng = np.random.RandomState(42)
         state = build_state(cfg, full, rng)
         match, ratio = run_case(state, cfg, dd_filled)
-        assert match or ratio >= RATIO_BAR[ds], (
-            f"golden map ds {ds} T {temp}: ratio {ratio:.4f}")
+        assert match or ratio >= RATIO_BAR[kw["dd_downscale"]], (
+            f"golden map {kw}: ratio {ratio:.4f}")
