@@ -244,7 +244,8 @@ def _run_env_profile(n_envs: int, ticks: int, pipeline: int = 1, **cfg_kw):
 
     runner = BatchRunner(
         cfg,
-        [lambda s=s: FakeNavEnv(cfg, size_m=14.0, seed=s)
+        [lambda s=s: FakeNavEnv(cfg, size_m=14.0, seed=s,
+                                emit_gt_seg=False)  # Mask R-CNN serves seg
          for s in range(n_envs)],
         prediction_model=pm, segmenter=segmenter,
         **({"pipeline": pipeline} if pipeline != 1 else {}))

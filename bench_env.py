@@ -78,7 +78,8 @@ def main():
 
     runner = BatchRunner(
         cfg,
-        [lambda s=s: FakeNavEnv(cfg, size_m=14.0, seed=s) for s in
+        [lambda s=s: FakeNavEnv(cfg, size_m=14.0, seed=s,
+                                emit_gt_seg=bool(ns.gt_seg)) for s in
          range(ns.envs)],
         prediction_model=pm, segmenter=segmenter, pipeline=ns.pipeline)
 

@@ -27,7 +27,8 @@ class FakeNavEnv:
                  goal_min_dist: float = 3.0,
                  goal_max_dist: Optional[float] = None,
                  goal_line_of_sight: bool = False,
-                 goal_unique: bool = False):
+                 goal_unique: bool = False,
+                 emit_gt_seg: bool = True):
         self.cfg = cfg
         self.size = size_m
         self.rng = np.random.RandomState(seed)
@@ -55,6 +56,11 @@ class FakeNavEnv:
         # a correct category-level stop read as failure (real ObjectNav
         # counts any instance).  Default off for byte-stable pinned streams.
         self.goal_unique = goal_unique
+        # emit_gt_seg=False skips building the (H, W, 10) ground-truth
+        # stack + goal channel (12 MB/step of zeros) when the consumer runs
+        # the real Mask R-CNN (use_gt_seg=0) and never reads either key;
+        # rgb/depth rendering is unchanged either way
+        self.emit_gt_seg = emit_gt_seg
         self._metrics = {}
 
     # ------------------------------------------------------------------
@@ -125,19 +131,25 @@ class FakeNavEnv:
 
     # ------------------------------------------------------------------
     def _raycast(self, angles) -> np.ndarray:
-        """Distances (m) along each angle until a wall, from the agent."""
+        """Distances (m) along each angle until a wall, from the agent.
+
+        float32 marching + flat occupancy indexing: ~2x cheaper than the
+        float64 form at 640 rays x ~130 samples, identical hit cells except
+        for sub-resolution (<1e-6 m) boundary rounding.
+        """
         max_d = self.cfg.max_depth + 1.0
         step = self.res * 0.9
         n_steps = int(max_d / step)
-        x0, y0 = self.pose[0], self.pose[1]
-        ds = np.arange(1, n_steps + 1) * step
-        xs = x0 + np.cos(angles)[:, None] * ds[None, :]
-        ys = y0 + np.sin(angles)[:, None] * ds[None, :]
-        ii = np.clip((ys / self.res).astype(int), 0, self.n - 1)
-        jj = np.clip((xs / self.res).astype(int), 0, self.n - 1)
-        hit = self.occ[ii, jj]
+        ds = (np.arange(1, n_steps + 1) * step).astype(np.float32)
+        a = np.asarray(angles, np.float32)
+        xs = np.float32(self.pose[0]) + np.cos(a)[:, None] * ds[None, :]
+        ys = np.float32(self.pose[1]) + np.sin(a)[:, None] * ds[None, :]
+        inv = np.float32(1.0 / self.res)
+        ii = np.clip((ys * inv).astype(np.int32), 0, self.n - 1)
+        jj = np.clip((xs * inv).astype(np.int32), 0, self.n - 1)
+        hit = self.occ.ravel()[ii * self.n + jj]
         first = np.where(hit.any(axis=1), hit.argmax(axis=1), n_steps - 1)
-        return ds[first]
+        return ds[first].astype(np.float64)
 
     def _obs(self) -> Dict:
         cfg = self.cfg
@@ -156,7 +168,8 @@ class FakeNavEnv:
         # ground-truth segmentation: every visible in-range object paints
         # its category channel; 'goalseg' keeps the reference contract
         # (goal category only), 'gtsem' is the full (H, W, 10) stack
-        gtsem = np.zeros((h, w, 10), np.float32)
+        gtsem = (np.zeros((h, w, 10), np.float32)
+                 if self.emit_gt_seg else None)
         from ..constants import hm3d_to_coco
 
         goal_cat = hm3d_to_coco[self.goal_id]
@@ -171,7 +184,8 @@ class FakeNavEnv:
                 if ray_d > gdist - 0.1:  # not behind a wall
                     cw = max(3, int(0.4 / gdist * w / (2 * half)))
                     c0, c1 = max(0, col - cw), min(w, col + cw)
-                    gtsem[h // 3:2 * h // 3, c0:c1, cat] = 1.0
+                    if gtsem is not None:
+                        gtsem[h // 3:2 * h // 3, c0:c1, cat] = 1.0
                     color = (40 + 20 * cat, 200 - 15 * cat, 40)
                     rgb[h // 3:2 * h // 3, c0:c1] = color
                     if self.objects_in_depth:
@@ -184,21 +198,21 @@ class FakeNavEnv:
                         depth_img[h // 3:2 * h // 3, c0:c1, 0] = np.minimum(
                             depth_img[h // 3:2 * h // 3, c0:c1, 0],
                             np.float32(odn))
-        goalseg = gtsem[:, :, goal_cat].copy()
-
         # habitat gps convention: x forward-ish, see peanut_agent.py:77-84
         gps = np.array([self.pose[0] - self.start_pose[0],
                         -(self.pose[1] - self.start_pose[1])])
         compass = np.array([self.pose[2] - self.start_pose[2]])
-        return {
+        obs = {
             "rgb": rgb,
             "depth": depth_img,
             "gps": gps,
             "compass": compass,
             "objectgoal": np.array([self.goal_id]),
-            "goalseg": goalseg,
-            "gtsem": gtsem,
         }
+        if gtsem is not None:
+            obs["goalseg"] = gtsem[:, :, goal_cat].copy()
+            obs["gtsem"] = gtsem
+        return obs
 
     # ------------------------------------------------------------------
     def step(self, action) -> Dict:
