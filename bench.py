@@ -293,7 +293,8 @@ def bench_env_steps(n_envs: int = 16, ticks: int = 60):
     throughput is always on record.
     """
     serving = _run_env_profile(n_envs, ticks, dd_downscale=2, dd_order=1,
-                               dd_block=8, dd_inner=24)
+                               dd_block=8, dd_inner=24,
+                               plan_block=8, plan_inner=24)
     exact = _run_env_profile(n_envs, max(ticks // 2, 10), dd_downscale=1)
     sps = serving["steps_per_sec"]
     return {

@@ -46,6 +46,9 @@ def main():
                          "(2 = exact reference-faithful mode)")
     ap.add_argument("--dd_block", type=int, default=8)
     ap.add_argument("--dd_inner", type=int, default=24)
+    ap.add_argument("--plan_block", type=int, default=8,
+                    help="STG planning-field sweep tiling (16/40 = exact)")
+    ap.add_argument("--plan_inner", type=int, default=24)
     ns = ap.parse_args()
 
     from peanut_tpu.config import NavConfig
@@ -58,7 +61,8 @@ def main():
     cfg = NavConfig(use_gt_seg=1 if ns.gt_seg else 0, exact_parity=False,
                     serve_bf16=True, dd_downscale=ns.dd_downscale,
                     dd_order=ns.dd_order, dd_block=ns.dd_block,
-                    dd_inner=ns.dd_inner)
+                    dd_inner=ns.dd_inner, plan_block=ns.plan_block,
+                    plan_inner=ns.plan_inner)
     pm = PredictionModel(cfg)  # full PSPNet-R50 at 720^2 (random weights)
 
     segmenter = None

@@ -150,9 +150,11 @@ def dilate_goal(goal, found_goal, is_toilet):
     return jnp.where(found & toilet, d6, jnp.where(found, d8, d2))
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "win"))
+@functools.partial(jax.jit, static_argnames=("n_iters", "win", "block",
+                                             "inner"))
 def plan_distance_fields(traversible, goal_dilated, loc_r, loc_c,
-                         n_iters: int = 2, win: int = 5):
+                         n_iters: int = 2, win: int = 5,
+                         block: int = 16, inner: int = 40):
     """Batched boundary-padded eikonal solve + per-env window extraction.
 
     Equivalent to FMMPlanner construction with add_boundary (traversible ring
@@ -165,7 +167,8 @@ def plan_distance_fields(traversible, goal_dilated, loc_r, loc_c,
                      constant_values=True)
     goal_b = jnp.pad(goal_dilated, ((0, 0), (1, 1), (1, 1)),
                      constant_values=False)
-    d = eikonal_distance(trav_b, goal_b, n_iters=n_iters)
+    d = eikonal_distance(trav_b, goal_b, n_iters=n_iters, block=block,
+                         inner=inner)
     d = masked_fill_unreachable(d)
 
     # pad by win with the same sentinel the host planner uses (shape^2)

@@ -462,9 +462,11 @@ class BatchedNavRuntime:
                 lmb_new[:, 0] == 0, lmb_new[:, 1] == self.Hf)
             goal_dil = B.dilate_goal(goal_maps, found.astype(jnp.float32),
                                      is_toilet).astype(jnp.float32)
-            plan = B.plan_distance_fields(trav_l, goal_dil,
-                                          starts[:, 0], starts[:, 1],
-                                          n_iters=cfg.fmm_sweeps)
+            plan = B.plan_distance_fields(
+                trav_l, goal_dil, starts[:, 0], starts[:, 1],
+                n_iters=cfg.fmm_sweeps,
+                block=int(getattr(cfg, "plan_block", 16)),
+                inner=int(getattr(cfg, "plan_inner", 40)))
 
             new_state = DeviceState(
                 local_maps=local_maps, full_maps=full_maps,
@@ -516,8 +518,10 @@ class BatchedNavRuntime:
             goal_maps = jnp.where(found[:, None, None], temp, single)
             goal_dil = B.dilate_goal(goal_maps, found.astype(jnp.float32),
                                      is_toilet).astype(jnp.float32)
-            plan = B.plan_distance_fields(trav, goal_dil, loc_r, loc_c,
-                                          n_iters=cfg.fmm_sweeps)
+            plan = B.plan_distance_fields(
+                trav, goal_dil, loc_r, loc_c, n_iters=cfg.fmm_sweeps,
+                block=int(getattr(cfg, "plan_block", 16)),
+                inner=int(getattr(cfg, "plan_inner", 40)))
             return plan.window
 
         self._replan_program = replan_program

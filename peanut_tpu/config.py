@@ -108,6 +108,14 @@ class NavConfig:
                                  # CPU path).  The local planning solve
                                  # always stays order 2 (skfmm parity).
                                  # Like dd_downscale, guarded to T > 0.
+    plan_block: int = 16         # STG planning-field sweep tiling; the
+    plan_inner: int = 40         # serving profile uses block=8/inner=24
+                                 # (1.35x faster at 480^2; agent-distance
+                                 # error <=2.3 cells at worst-case far-
+                                 # field geometry, and stop decisions are
+                                 # near-goal where sweeps converge first —
+                                 # decision test in test_fmm_oracle.py).
+                                 # Default = exact tiling (parity mode).
     dd_block: int = 16           # goal-weighting field sweep tiling;
     dd_inner: int = 40           # serving profile uses block=8/inner=24
                                  # (~1.4x faster, max oracle error 1.55 vs

@@ -55,7 +55,13 @@ class BatchRunner:
         self.runtime = self.runtimes[0]
         self._halves = [list(range(k * self.per, (k + 1) * self.per))
                         for k in range(pipeline)]
-        self._pool = ThreadPoolExecutor(max_workers=min(self.n, 16))
+        # env stepping is host numpy: more threads than cores just thrash
+        # the GIL (measured on the 1-core bench host: 16 workers = 82 ms
+        # per 16-env step vs 54 ms at 2); a couple of extra threads still
+        # help hide the obs-upload dispatch latency
+        import os
+        self._pool = ThreadPoolExecutor(
+            max_workers=min(self.n, max(2, os.cpu_count() or 1)))
         # separate executor for the per-half orchestration tasks, so they
         # can't starve the env-step pool they submit into (no deadlock)
         self._half_pool = ThreadPoolExecutor(max_workers=max(pipeline, 1))

@@ -79,19 +79,19 @@ def _jacobi_pass(d, wall):
     return jnp.where(wall, BIG, jnp.minimum(d, cand))
 
 
-def _block_jacobi(blk, wall, top, bottom, inner: int):
+def _block_jacobi(blk, wall, top, bottom, inner: int, scan_chunk: int = 1):
     """Relax a row block to its local fixed point given boundary rows.
 
     blk: (..., R, W); top/bottom: (..., W) neighbour rows outside the block.
-    Each inner iteration runs the horizontal segmented scans plus one Godunov
-    pass, so information crosses the whole block vertically (R rows) and any
-    distance horizontally (log-depth scans).
+    ``inner`` counts Godunov stencil passes; the horizontal segmented scans
+    (which jump distance across whole rows in log depth, but cost several
+    stencils' worth of shifts) run once per ``scan_chunk`` stencil passes —
+    the same amortization as the Pallas kernel, so the two paths stay
+    numerically twinned.
     """
     nd = blk.ndim
 
-    def one(blk, _):
-        blk = _seg_scan_1d(blk, wall, reverse=False)
-        blk = _seg_scan_1d(blk, wall, reverse=True)
+    def stencil(blk, _):
         up = jnp.concatenate([top[..., None, :], blk[..., :-1, :]], axis=-2)
         down = jnp.concatenate([blk[..., 1:, :], bottom[..., None, :]], axis=-2)
         left = jnp.pad(blk[..., :, :-1], [(0, 0)] * (nd - 1) + [(1, 0)],
@@ -101,11 +101,18 @@ def _block_jacobi(blk, wall, top, bottom, inner: int):
         cand = _godunov(jnp.minimum(up, down), jnp.minimum(left, right))
         return jnp.where(wall, BIG, jnp.minimum(blk, cand)), None
 
-    blk, _ = lax.scan(one, blk, None, length=inner)
+    def one(blk, _):
+        blk = _seg_scan_1d(blk, wall, reverse=False)
+        blk = _seg_scan_1d(blk, wall, reverse=True)
+        blk, _ = lax.scan(stencil, blk, None, length=scan_chunk)
+        return blk, None
+
+    blk, _ = lax.scan(one, blk, None, length=inner // scan_chunk)
     return blk
 
 
-def _v_sweep(d, wall, reverse: bool, block: int = 16, inner: int = 40):
+def _v_sweep(d, wall, reverse: bool, block: int = 16, inner: int = 40,
+             scan_chunk: int = 1):
     """Blocked sequential row sweep (the FSM core).
 
     The grid is cut into row blocks; blocks are processed sequentially in the
@@ -141,7 +148,7 @@ def _v_sweep(d, wall, reverse: bool, block: int = 16, inner: int = 40):
             top, bottom = carry, far
         else:
             top, bottom = far, carry
-        blk = _block_jacobi(blk, wblk, top, bottom, inner)
+        blk = _block_jacobi(blk, wblk, top, bottom, inner, scan_chunk)
         out_boundary = blk[..., -1, :] if not reverse else blk[..., 0, :]
         return out_boundary, blk
 
@@ -299,22 +306,25 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _sweep(d, wall, reverse: bool, block: int, inner: int):
+def _sweep(d, wall, reverse: bool, block: int, inner: int,
+           scan_chunk: int = 1):
     if _use_pallas():
         from .fmm_pallas import v_sweep_pallas
 
         if d.ndim == 2:
             return v_sweep_pallas(d[None], wall[None], reverse, block=block,
-                                  inner=inner)[0]
+                                  inner=inner, scan_chunk=scan_chunk)[0]
         if d.ndim > 3:
             bshape = d.shape[:-2]
             flat = d.reshape((-1,) + d.shape[-2:])
             wflat = wall.reshape((-1,) + d.shape[-2:])
             out = v_sweep_pallas(flat, wflat, reverse, block=block,
-                                 inner=inner)
+                                 inner=inner, scan_chunk=scan_chunk)
             return out.reshape(bshape + d.shape[-2:])
-        return v_sweep_pallas(d, wall, reverse, block=block, inner=inner)
-    return _v_sweep(d, wall, reverse, block=block, inner=inner)
+        return v_sweep_pallas(d, wall, reverse, block=block, inner=inner,
+                              scan_chunk=scan_chunk)
+    return _v_sweep(d, wall, reverse, block=block, inner=inner,
+                    scan_chunk=scan_chunk)
 
 
 def _sweep2(d, wall, src, reverse: bool, block: int, inner: int):
@@ -338,9 +348,11 @@ def _sweep2(d, wall, src, reverse: bool, block: int, inner: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "block", "inner",
-                                             "order", "n_iters2"))
+                                             "order", "n_iters2",
+                                             "scan_chunk"))
 def eikonal_distance(traversible, sources, n_iters: int = 2, block: int = 16,
-                     inner: int = 40, order: int = 2, n_iters2: int = 2):
+                     inner: int = 40, order: int = 2, n_iters2: int = 2,
+                     scan_chunk: int = 1):
     """Geodesic (unit-speed eikonal) distance to source cells.
 
     Args:
@@ -373,14 +385,14 @@ def eikonal_distance(traversible, sources, n_iters: int = 2, block: int = 16,
 
     for _ in range(n_iters):
         d = _axis_relax(d, wallf)
-        d = _sweep(d, wallf, False, block, inner)
-        d = _sweep(d, wallf, True, block, inner)
+        d = _sweep(d, wallf, False, block, inner, scan_chunk)
+        d = _sweep(d, wallf, True, block, inner, scan_chunk)
         # Transposed orientation: columns become rows.
         dt = jnp.swapaxes(d, -1, -2)
         wt = jnp.swapaxes(wallf, -1, -2)
         dt = _axis_relax(dt, wt)
-        dt = _sweep(dt, wt, False, block, inner)
-        dt = _sweep(dt, wt, True, block, inner)
+        dt = _sweep(dt, wt, False, block, inner, scan_chunk)
+        dt = _sweep(dt, wt, True, block, inner, scan_chunk)
         d = jnp.swapaxes(dt, -1, -2)
 
     if order >= 2:

