@@ -125,6 +125,36 @@ def test_navigation_success_bar():
     assert spl >= SPL_BAR, f"spl {spl:.3f} < bar {SPL_BAR}"
 
 
+@pytest.mark.slow
+def test_navigation_success_bar_serving_profile():
+    """The LOS tier again under the FULL serving profile (dd_downscale=2,
+    dd_order=1, dd/plan sweep tiling 8/24 — every approximation bench.py's
+    headline env metric runs with).  Episode-level evidence that the
+    serving knobs navigate, complementing the per-decision oracle pins
+    (test_goal_argmax_oracle.py, test_plan_serving_tiling_decisions)."""
+    cfg = small_cfg(use_gt_seg=1, vision_range=60,
+                    goal_erode=0, cat_pred_threshold=1.0,
+                    max_episode_length=MAX_STEPS + 10,
+                    timestep_limit=MAX_STEPS + 10,
+                    dd_downscale=2, dd_order=1, dd_block=8, dd_inner=24,
+                    plan_block=8, plan_inner=24)
+    pm = tiny_prediction_model(cfg)
+    runner = BatchRunner(
+        cfg, [lambda s=s: make_env(cfg, s) for s in SEEDS],
+        prediction_model=pm)
+    runner.run(max_ticks=MAX_STEPS + 4, max_episodes=len(SEEDS))
+    metrics = runner.metrics[:len(SEEDS)]
+    assert len(metrics) >= len(SEEDS)
+    succ = float(np.mean([m.get("success", 0.0) for m in metrics]))
+    spl = float(np.mean([m.get("spl", 0.0) for m in metrics]))
+    print(f"\n[nav-quality serving tier] success={succ:.3f} spl={spl:.3f} "
+          f"per-ep={[(m.get('success'), round(m.get('spl', 0), 2)) for m in metrics]}")
+    assert succ >= SUCCESS_BAR, (
+        f"serving-profile success {succ:.2f} < bar {SUCCESS_BAR}: "
+        f"{[m.get('success') for m in metrics]}")
+    assert spl >= SPL_BAR, f"serving-profile spl {spl:.3f} < bar {SPL_BAR}"
+
+
 EXPLORE_MAX_STEPS = 160
 # committed bar: measured 2026-08-18 on the seeds above with goal_unique
 # spawns (success [1,1,1,1,1,0,0,0] = 0.625, habitat-style spl 0.531; the
