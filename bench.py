@@ -287,14 +287,15 @@ def bench_env_steps(n_envs: int = 16, ticks: int = 60):
     identical compute), synthetic raycast envs at challenge geometry.
 
     Two profiles per run (VERDICT r3 item 1b): the serving profile
-    (dd_downscale=2, the half-resolution goal-weighting approximation) is
-    the headline; the exact profile (dd_downscale=1, reference-faithful
-    full-resolution geodesic field) rides along so fidelity-faithful
-    throughput is always on record.
+    (dd_downscale=2 half-resolution goal weighting + pred_async=1, the
+    post-tick prediction program that overlaps env stepping) is the
+    headline; the exact profile (dd_downscale=1, synchronous in-tick
+    prediction, reference-faithful phasing) rides along so
+    fidelity-faithful throughput is always on record.
     """
     serving = _run_env_profile(n_envs, ticks, dd_downscale=2, dd_order=1,
                                dd_block=8, dd_inner=24,
-                               plan_block=8, plan_inner=24)
+                               plan_block=8, plan_inner=24, pred_async=1)
     exact = _run_env_profile(n_envs, max(ticks // 2, 10), dd_downscale=1)
     sps = serving["steps_per_sec"]
     return {

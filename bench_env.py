@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--plan_block", type=int, default=8,
                     help="STG planning-field sweep tiling (16/40 = exact)")
     ap.add_argument("--plan_inner", type=int, default=24)
+    ap.add_argument("--pred_async", type=int, default=1,
+                    help="1 = post-tick prediction program overlapping env "
+                         "stepping (0 = exact in-tick phasing)")
     ns = ap.parse_args()
 
     from peanut_tpu.config import NavConfig
@@ -62,7 +65,7 @@ def main():
                     serve_bf16=True, dd_downscale=ns.dd_downscale,
                     dd_order=ns.dd_order, dd_block=ns.dd_block,
                     dd_inner=ns.dd_inner, plan_block=ns.plan_block,
-                    plan_inner=ns.plan_inner)
+                    plan_inner=ns.plan_inner, pred_async=ns.pred_async)
     pm = PredictionModel(cfg)  # full PSPNet-R50 at 720^2 (random weights)
 
     segmenter = None
@@ -115,6 +118,7 @@ def main():
         "pipeline": ns.pipeline,
         "dd_downscale": ns.dd_downscale,
         "dd_order": ns.dd_order,
+        "pred_async": ns.pred_async,
         "stage_ms": {k: round(v / ns.ticks * 1000, 1)
                      for k, v in runner.stage_totals().items()},
     }))

@@ -80,6 +80,8 @@ class TickHandle(NamedTuple):
     poses_new: np.ndarray
     trig: np.ndarray
     stop_now: np.ndarray
+    hp_dev: object = None      # device host_pack (pred_async reuses it)
+    trig_idxs: object = None   # (B,) int32 padded trigger indices
 
 
 @dataclass
@@ -155,6 +157,15 @@ class BatchedNavRuntime:
         self._pool = ThreadPoolExecutor(max_workers=min(num_envs, 16))
         # pending point-scatter buffers (computed host-side each tick)
         self._clear_pending()
+        # pred_async serving mode: the prediction/goal program dispatches
+        # AFTER the tick's collect phase so it overlaps host env stepping;
+        # the goal download lands at the next dispatch (one-tick goal lag)
+        self._pred_async = bool(getattr(cfg, "pred_async", 0)) \
+            and self.pred_model is not None
+        self._pending_goal = None
+        self._reset_since_pred = np.zeros(num_envs, bool)
+        import threading as _threading
+        self._reset_lock = _threading.Lock()
         # chunked-detect pipeline: stage_obs launches a detect chunk as
         # soon as seg_chunk envs have finished stepping, overlapping
         # detection with the remaining envs' stepping and the host logic
@@ -258,6 +269,127 @@ class BatchedNavRuntime:
 
         self.PACK = PACK
 
+        def pred_goal_update(full_maps, local_maps, collision, visited,
+                             target_pred, dd_wt, dd_valid, cur_goal,
+                             last_goal, last_goal_valid, trig, lmb_new,
+                             goal_cats, loc_new, trig_idxs, pred_k):
+            """Target prediction + geodesic value weighting + goal argmax.
+
+            The update_prediction/update_global_goal twin
+            (/root/reference/nav/agent/agent_state.py:345-415), shared by
+            the synchronous tick (exact mode) and the standalone async
+            pred program (``pred_async`` serving mode) so the two paths
+            are the same computation by construction.  Operates on a
+            gathered K-env subset (trig_idxs, padded with repeats) so
+            trigger ticks pay O(K), not O(B).
+            """
+            sub = trig_idxs[:pred_k]                    # (K,)
+            trig_s = trig[sub]
+            lmb_s = lmb_new[sub]
+            full_sub = full_maps[sub]                   # (K, nc, Hf, Wf)
+            crop = jax.lax.dynamic_slice(
+                full_sub, (0, 0, px1, py1),
+                (pred_k, self.nc, pw, pw))
+            probs = pred_infer(crop)                    # (K, 6, pw, pw)
+            chan = probs[jnp.arange(pred_k), goal_cats[sub]]
+            pred_full = jnp.zeros((pred_k, self.Hf, self.Wf), jnp.float32)
+            pred_full = jax.lax.dynamic_update_slice(
+                pred_full, chan, (0, px1, py1))
+            window = B.window_shuttle_in(
+                pred_full[:, None], lmb_s, self.Hl, self.Wl)[:, 0]
+            cand_tp = window * (local_maps[sub, 1] < 0.5)
+            tp_s = jnp.where(trig_s[:, None, None], cand_tp,
+                             target_pred[sub])
+            target_pred = target_pred.at[sub].set(tp_s)
+
+            # geodesic distance weighting over the subset's full maps
+            trav = jnp.logical_not(B.batch_dilate(
+                jnp.rint(full_sub[:, 0]), disk(cfg.col_rad)))
+            trav = trav & jnp.logical_not(collision[sub] > 0)
+            trav = trav | (visited[sub] > 0)
+            agent_r = jnp.clip(loc_new[sub, 0] + lmb_s[:, 0],
+                               0, self.Hf - 1)
+            agent_c = jnp.clip(loc_new[sub, 1] + lmb_s[:, 2],
+                               0, self.Wf - 1)
+            src = jnp.zeros_like(full_sub[:, 0])
+            src = jax.vmap(lambda s, r, c: s.at[r, c].set(1.0))(
+                src, agent_r, agent_c)
+            ds = int(getattr(cfg, "dd_downscale", 1))
+            dd_order = int(getattr(cfg, "dd_order", 2))
+            dd_blk = int(getattr(cfg, "dd_block", 16))
+            dd_inner = int(getattr(cfg, "dd_inner", 40))
+            if cfg.dist_weight_temperature <= 0:
+                # frontier mode thresholds dd at a 60-cell cliff and
+                # T=-1 ignores dd: the smooth-weighting justification
+                # for the half-res/low-order fields does not apply
+                # (compile-time branch; mirrors
+                # agent/state.py::update_global_goal)
+                ds, dd_order, dd_blk, dd_inner = 1, 2, 16, 40
+            if ds > 1 and self.Hf % ds == 0 and self.Wf % ds == 0:
+                # serving-profile approximation (PARITY.md): solve the
+                # goal-weighting field on an OR-pooled half-res grid
+                # (walls are col_rad-dilated, so pooling keeps them)
+                # and upsample nearest — the field only feeds
+                # exp(-dd/temperature), temperature ~100 cells.
+                # Mirrors agent/state.py::update_global_goal.
+                pool = lambda x: jax.lax.reduce_window(
+                    x.astype(jnp.float32), -jnp.inf, jax.lax.max,
+                    (1, ds, ds), (1, ds, ds), "VALID")
+                dd = eikonal_distance(pool(trav) > 0, pool(src) > 0,
+                                      n_iters=cfg.fmm_sweeps,
+                                      order=dd_order, block=dd_blk,
+                                      inner=dd_inner) * ds
+                dd = masked_fill_unreachable(dd)
+                dd = jnp.repeat(jnp.repeat(dd, ds, axis=1), ds, axis=2)
+            else:
+                dd = eikonal_distance(trav, src, n_iters=cfg.fmm_sweeps,
+                                      order=dd_order, block=dd_blk,
+                                      inner=dd_inner)
+                dd = masked_fill_unreachable(dd)
+            mx = jnp.max(dd, axis=(1, 2), keepdims=True)
+            dd = jnp.where(dd == mx, jnp.inf, dd)
+            dd_wt_full = jnp.exp(-dd / temperature)
+            cand_dd = B.window_shuttle_in(
+                dd_wt_full[:, None], lmb_s, self.Hl, self.Wl)[:, 0]
+            # stuck-inside-obstacle fallback (agent_state.py:398-399)
+            reuse = (cand_dd.sum(axis=(1, 2)) < 10) & dd_valid[sub]
+            cand_dd = jnp.where(reuse[:, None, None], dd_wt[sub], cand_dd)
+            dd_s = jnp.where(trig_s[:, None, None], cand_dd, dd_wt[sub])
+            dd_wt = dd_wt.at[sub].set(dd_s)
+            dd_valid = dd_valid.at[sub].set(dd_valid[sub] | trig_s)
+
+            # dist_weight_temperature special modes (agent_state.py:
+            # 402-407): -1 = no distance weighting, 0 = frontier-based
+            # exploration (ignore cells closer than 60, flat 100-cell
+            # temperature, no prediction multiply).  Static config ->
+            # compile-time branch.
+            if cfg.dist_weight_temperature == -1:
+                value = tp_s
+            elif cfg.dist_weight_temperature == 0:
+                dd_f = jnp.where(dd < 60.0, jnp.inf, dd)
+                frontier = B.window_shuttle_in(
+                    jnp.exp(-dd_f / 100.0)[:, None], lmb_s,
+                    self.Hl, self.Wl)[:, 0]
+                # non-trigger rows keep their previous goal anyway
+                # (take = trig & changed); reuse the frontier window
+                value = frontier
+            else:
+                value = tp_s * dd_s
+            flat = value.reshape(pred_k, -1)
+            idx = jnp.argmax(flat, axis=1).astype(jnp.int32)
+            new_goal = jnp.stack([idx // self.Wl, idx % self.Wl], axis=1)
+            same = jnp.all(new_goal == last_goal[sub], axis=1) & \
+                last_goal_valid[sub]
+            take = trig_s & jnp.logical_not(same)
+            last_goal = last_goal.at[sub].set(
+                jnp.where(take[:, None], cur_goal[sub], last_goal[sub]))
+            last_goal_valid = last_goal_valid.at[sub].set(
+                last_goal_valid[sub] | take)
+            cur_goal = cur_goal.at[sub].set(
+                jnp.where(take[:, None], new_goal, cur_goal[sub]))
+            return (target_pred, dd_wt, dd_valid, cur_goal, last_goal,
+                    last_goal_valid)
+
         def tick(state: DeviceState, sem_u8, depth_cm, host_pack, trig_idxs,
                  with_prediction: bool, pred_k: int = 0):
             (poses_new, lmb_old, lmb_new, goal_cats, no_erode, is_toilet,
@@ -318,110 +450,12 @@ class BatchedNavRuntime:
             # runs on a gathered K-env subset (trig_idxs, padded with
             # repeats) so trigger ticks pay O(K), not O(B)
             if with_prediction and pred_infer is not None:
-                sub = trig_idxs[:pred_k]                    # (K,)
-                trig_s = trig[sub]
-                lmb_s = lmb_new[sub]
-                full_sub = full_maps[sub]                   # (K, nc, Hf, Wf)
-                crop = jax.lax.dynamic_slice(
-                    full_sub, (0, 0, px1, py1),
-                    (pred_k, self.nc, pw, pw))
-                probs = pred_infer(crop)                    # (K, 6, pw, pw)
-                chan = probs[jnp.arange(pred_k), goal_cats[sub]]
-                pred_full = jnp.zeros((pred_k, self.Hf, self.Wf), jnp.float32)
-                pred_full = jax.lax.dynamic_update_slice(
-                    pred_full, chan, (0, px1, py1))
-                window = B.window_shuttle_in(
-                    pred_full[:, None], lmb_s, self.Hl, self.Wl)[:, 0]
-                cand_tp = window * (local_maps[sub, 1] < 0.5)
-                tp_s = jnp.where(trig_s[:, None, None], cand_tp,
-                                 target_pred[sub])
-                target_pred = target_pred.at[sub].set(tp_s)
-
-                # geodesic distance weighting over the subset's full maps
-                trav = jnp.logical_not(B.batch_dilate(
-                    jnp.rint(full_sub[:, 0]), disk(cfg.col_rad)))
-                trav = trav & jnp.logical_not(collision[sub] > 0)
-                trav = trav | (visited[sub] > 0)
-                agent_r = jnp.clip(loc_new[sub, 0] + lmb_s[:, 0],
-                                   0, self.Hf - 1)
-                agent_c = jnp.clip(loc_new[sub, 1] + lmb_s[:, 2],
-                                   0, self.Wf - 1)
-                src = jnp.zeros_like(full_sub[:, 0])
-                src = jax.vmap(lambda s, r, c: s.at[r, c].set(1.0))(
-                    src, agent_r, agent_c)
-                ds = int(getattr(cfg, "dd_downscale", 1))
-                dd_order = int(getattr(cfg, "dd_order", 2))
-                dd_blk = int(getattr(cfg, "dd_block", 16))
-                dd_inner = int(getattr(cfg, "dd_inner", 40))
-                if cfg.dist_weight_temperature <= 0:
-                    # frontier mode thresholds dd at a 60-cell cliff and
-                    # T=-1 ignores dd: the smooth-weighting justification
-                    # for the half-res/low-order fields does not apply
-                    # (compile-time branch; mirrors
-                    # agent/state.py::update_global_goal)
-                    ds, dd_order, dd_blk, dd_inner = 1, 2, 16, 40
-                if ds > 1 and self.Hf % ds == 0 and self.Wf % ds == 0:
-                    # serving-profile approximation (PARITY.md): solve the
-                    # goal-weighting field on an OR-pooled half-res grid
-                    # (walls are col_rad-dilated, so pooling keeps them)
-                    # and upsample nearest — the field only feeds
-                    # exp(-dd/temperature), temperature ~100 cells.
-                    # Mirrors agent/state.py::update_global_goal.
-                    pool = lambda x: jax.lax.reduce_window(
-                        x.astype(jnp.float32), -jnp.inf, jax.lax.max,
-                        (1, ds, ds), (1, ds, ds), "VALID")
-                    dd = eikonal_distance(pool(trav) > 0, pool(src) > 0,
-                                          n_iters=cfg.fmm_sweeps,
-                                          order=dd_order, block=dd_blk,
-                                          inner=dd_inner) * ds
-                    dd = masked_fill_unreachable(dd)
-                    dd = jnp.repeat(jnp.repeat(dd, ds, axis=1), ds, axis=2)
-                else:
-                    dd = eikonal_distance(trav, src, n_iters=cfg.fmm_sweeps,
-                                          order=dd_order, block=dd_blk,
-                                          inner=dd_inner)
-                    dd = masked_fill_unreachable(dd)
-                mx = jnp.max(dd, axis=(1, 2), keepdims=True)
-                dd = jnp.where(dd == mx, jnp.inf, dd)
-                dd_wt_full = jnp.exp(-dd / temperature)
-                cand_dd = B.window_shuttle_in(
-                    dd_wt_full[:, None], lmb_s, self.Hl, self.Wl)[:, 0]
-                # stuck-inside-obstacle fallback (agent_state.py:398-399)
-                reuse = (cand_dd.sum(axis=(1, 2)) < 10) & dd_valid[sub]
-                cand_dd = jnp.where(reuse[:, None, None], dd_wt[sub], cand_dd)
-                dd_s = jnp.where(trig_s[:, None, None], cand_dd, dd_wt[sub])
-                dd_wt = dd_wt.at[sub].set(dd_s)
-                dd_valid = dd_valid.at[sub].set(dd_valid[sub] | trig_s)
-
-                # dist_weight_temperature special modes (agent_state.py:
-                # 402-407): -1 = no distance weighting, 0 = frontier-based
-                # exploration (ignore cells closer than 60, flat 100-cell
-                # temperature, no prediction multiply).  Static config ->
-                # compile-time branch.
-                if cfg.dist_weight_temperature == -1:
-                    value = tp_s
-                elif cfg.dist_weight_temperature == 0:
-                    dd_f = jnp.where(dd < 60.0, jnp.inf, dd)
-                    frontier = B.window_shuttle_in(
-                        jnp.exp(-dd_f / 100.0)[:, None], lmb_s,
-                        self.Hl, self.Wl)[:, 0]
-                    # non-trigger rows keep their previous goal anyway
-                    # (take = trig & changed); reuse the frontier window
-                    value = frontier
-                else:
-                    value = tp_s * dd_s
-                flat = value.reshape(pred_k, -1)
-                idx = jnp.argmax(flat, axis=1).astype(jnp.int32)
-                new_goal = jnp.stack([idx // self.Wl, idx % self.Wl], axis=1)
-                same = jnp.all(new_goal == last_goal[sub], axis=1) & \
-                    last_goal_valid[sub]
-                take = trig_s & jnp.logical_not(same)
-                last_goal = last_goal.at[sub].set(
-                    jnp.where(take[:, None], cur_goal[sub], last_goal[sub]))
-                last_goal_valid = last_goal_valid.at[sub].set(
-                    last_goal_valid[sub] | take)
-                cur_goal = cur_goal.at[sub].set(
-                    jnp.where(take[:, None], new_goal, cur_goal[sub]))
+                (target_pred, dd_wt, dd_valid, cur_goal, last_goal,
+                 last_goal_valid) = pred_goal_update(
+                    full_maps, local_maps, collision, visited,
+                    target_pred, dd_wt, dd_valid, cur_goal, last_goal,
+                    last_goal_valid, trig, lmb_new, goal_cats, loc_new,
+                    trig_idxs, pred_k)
 
             # --- found-goal extraction (update_goal_map) ------------------
             if cfg.only_explore == 0:
@@ -536,6 +570,39 @@ class BatchedNavRuntime:
         self._k_small = k_small
         self._tick_no_pred = jax.jit(partial(tick, with_prediction=False),
                                      donate_argnums=(0,))
+
+        def pred_program(state: DeviceState, host_pack, trig_idxs,
+                         pred_k: int):
+            """Standalone prediction/goal update for ``pred_async`` serving
+            mode: the post-tick device state holds exactly the arrays the
+            in-tick pred block reads (the tick stores local/full maps as of
+            post-shuttle and scattered collision/visited), so running this
+            AFTER tick t computes the identical goal the synchronous tick
+            would have — applied at tick t+1 (one-tick goal lag, the
+            labeled approximation).  Downloads the new goals so the host
+            shadow can follow."""
+            (_, _, lmb_new, goal_cats, _, _, trig, _, _, _, _, loc_new,
+             _, _, _, _) = unpack(host_pack)
+            (tp, ddw, ddv, cg, lg, lgv) = pred_goal_update(
+                state.full_maps, state.local_maps, state.collision,
+                state.visited, state.target_pred, state.dd_wt,
+                state.dd_valid, state.cur_goal, state.last_goal,
+                state.last_goal_valid, trig, lmb_new, goal_cats, loc_new,
+                trig_idxs, pred_k)
+            new_state = state._replace(
+                target_pred=tp, dd_wt=ddw, dd_valid=ddv, cur_goal=cg,
+                last_goal=lg, last_goal_valid=lgv)
+            return new_state, cg
+
+        if self.pred_model is not None:
+            self._pred_prog_small = jax.jit(
+                partial(pred_program, pred_k=k_small), donate_argnums=(0,))
+            self._pred_prog_full = jax.jit(
+                partial(pred_program, pred_k=self.n),
+                donate_argnums=(0,)) if k_small < self.n \
+                else self._pred_prog_small
+        else:
+            self._pred_prog_small = self._pred_prog_full = None
         # goal_maps needed by the rare magnify fallback
         self._goal_dil_cache = None
 
@@ -593,18 +660,28 @@ class BatchedNavRuntime:
         hp[:, 7:11] = hp[:, 3:7]
         idxs = jnp.zeros(n, np.int32)
         variants = [self._tick_no_pred]
-        if self.pred_model is not None:
+        if self.pred_model is not None and not self._pred_async:
             variants += [self._tick_pred_small, self._tick_pred_full]
         for fn in dict.fromkeys(variants):       # dedup small==full case
             self.state, packed = fn(self.state, sem, depth,
                                     jnp.asarray(hp), idxs)
             np.asarray(packed)
+        if self._pred_async:
+            # async mode dispatches the standalone pred programs instead of
+            # the sync pred tick variants — warm those (trig all-zero: the
+            # compiled program is identical, no state rows are taken)
+            hp_d = jnp.asarray(hp)
+            for fn in dict.fromkeys([self._pred_prog_small,
+                                     self._pred_prog_full]):
+                self.state, goal_dl = fn(self.state, hp_d, idxs)
+                np.asarray(goal_dl)
 
     # ==================================================================
     # episode lifecycle
     # ==================================================================
     def reset_env(self, i: int):
         cfg = self.cfg
+        self._reset_since_pred[i] = True
         s = self.slots[i] = EnvSlot()
         s.forward_after_stop = cfg.move_forward_after_stop
         s.untrap.reset(full=True)
@@ -621,23 +698,27 @@ class BatchedNavRuntime:
         self.local_poses[i] = pose - s.origins.astype(np.float32)
         self.goal_shadow[i] = [int(0.1 * self.Hl), int(0.1 * self.Wl)]
 
-        st = self.state
-        full = st.full_maps.at[i].set(0.0)
-        full = full.at[i, 2:4, loc - 1:loc + 2, loc - 1:loc + 2].set(1.0)
-        local = jax.lax.dynamic_slice(
-            full[i], (0, int(s.lmb[0]), int(s.lmb[2])),
-            (self.nc, self.Hl, self.Wl))
-        self.state = DeviceState(
-            local_maps=st.local_maps.at[i].set(local),
-            full_maps=full,
-            collision=st.collision.at[i].set(0.0),
-            visited=st.visited.at[i].set(0.0),
-            target_pred=st.target_pred.at[i].set(0.0),
-            dd_wt=st.dd_wt.at[i].set(0.0),
-            dd_valid=st.dd_valid.at[i].set(False),
-            cur_goal=st.cur_goal.at[i].set(
-                jnp.asarray(self.goal_shadow[i])),
-            last_goal=st.last_goal.at[i].set(-1),
+        # reset_env is called from the env-step thread pool; serialize the
+        # read-modify-write of self.state so two episodes finishing in the
+        # same tick can't lose each other's slot reset
+        with self._reset_lock:
+            st = self.state
+            full = st.full_maps.at[i].set(0.0)
+            full = full.at[i, 2:4, loc - 1:loc + 2, loc - 1:loc + 2].set(1.0)
+            local = jax.lax.dynamic_slice(
+                full[i], (0, int(s.lmb[0]), int(s.lmb[2])),
+                (self.nc, self.Hl, self.Wl))
+            self.state = DeviceState(
+                local_maps=st.local_maps.at[i].set(local),
+                full_maps=full,
+                collision=st.collision.at[i].set(0.0),
+                visited=st.visited.at[i].set(0.0),
+                target_pred=st.target_pred.at[i].set(0.0),
+                dd_wt=st.dd_wt.at[i].set(0.0),
+                dd_valid=st.dd_valid.at[i].set(False),
+                cur_goal=st.cur_goal.at[i].set(
+                    jnp.asarray(self.goal_shadow[i])),
+                last_goal=st.last_goal.at[i].set(-1),
             last_goal_valid=st.last_goal_valid.at[i].set(False),
         )
 
@@ -654,6 +735,13 @@ class BatchedNavRuntime:
         (tests/test_lifecycle.py::test_runtime_checkpoint_resume)."""
         import json
 
+        if self._pending_goal is not None:
+            # land the in-flight pred_async goal so the saved host shadow
+            # matches the saved device cur_goal
+            g = np.asarray(self._pending_goal).astype(np.int32)
+            keep = np.logical_not(self._reset_since_pred)
+            self.goal_shadow[keep] = g[keep]
+            self._pending_goal = None
         arrays = {f"dev_{k}": np.asarray(v)
                   for k, v in self.state._asdict().items()}
         arrays["goal_shadow"] = self.goal_shadow
@@ -726,6 +814,8 @@ class BatchedNavRuntime:
             s.forward_after_stop = d["forward_after_stop"]
             s.untrap.total_id, s.untrap.epi_id = d["untrap"]
         self._clear_pending()
+        self._pending_goal = None
+        self._reset_since_pred[:] = False
 
     def _local_boundaries(self, loc_r, loc_c):
         cfg = self.cfg
@@ -764,6 +854,17 @@ class BatchedNavRuntime:
         cfg = self.cfg
         n = self.n
         T = self.timer
+
+        # ---- pred_async: land the in-flight goal download --------------
+        # (the pred program ran on-device while the envs stepped; by now it
+        # has finished, so this fetch is cheap).  Rows reset since the
+        # dispatch keep their fresh episode goal.
+        if self._pending_goal is not None:
+            with T.stage("pred_goal_wait"):
+                g = np.asarray(self._pending_goal).astype(np.int32)
+            keep = np.logical_not(self._reset_since_pred)
+            self.goal_shadow[keep] = g[keep]
+            self._pending_goal = None
 
         # ---- host: pose integration + bookkeeping ---------------------
         pose_deltas = np.zeros((n, 3), np.float32)
@@ -873,14 +974,18 @@ class BatchedNavRuntime:
         if not trig_list:
             fn = self._tick_no_pred
             idxs = np.zeros(self.n, np.int32)
-        elif len(trig_list) <= self._k_small:
-            fn = self._tick_pred_small
-            idxs = np.asarray(
-                (trig_list + [trig_list[-1]] * self.n)[:self.n], np.int32)
         else:
-            fn = self._tick_pred_full
             idxs = np.asarray(
                 (trig_list + [trig_list[-1]] * self.n)[:self.n], np.int32)
+            if self._pred_async:
+                # the goal update runs as a separate post-collect program
+                # (overlapping env stepping); the tick itself never pays
+                # for prediction
+                fn = self._tick_no_pred
+            elif len(trig_list) <= self._k_small:
+                fn = self._tick_pred_small
+            else:
+                fn = self._tick_pred_full
         with T.stage("upload"):
             args_d = (jnp.asarray(sem_u8), jnp.asarray(depth_cm),
                       jnp.asarray(hp), jnp.asarray(idxs))
@@ -890,7 +995,8 @@ class BatchedNavRuntime:
             self.state, packed = fn(self.state, *args_d)
         self._clear_pending()
         return TickHandle(packed, starts, starts_exact, lmb_new, goal_cats,
-                          no_erode, is_toilet, poses_new, trig, stop_now)
+                          no_erode, is_toilet, poses_new, trig, stop_now,
+                          hp_dev=args_d[2], trig_idxs=args_d[3])
 
     def act_batch_collect(self, h: "TickHandle") -> List[Dict]:
         """Phase 2: block on the tick program's packed download, then run
@@ -931,6 +1037,18 @@ class BatchedNavRuntime:
             with T.stage("magnify"):
                 stg_results = self._magnify_goal_batch(
                     mag_idxs, starts, starts_exact, stg_results)
+
+        # ---- pred_async: enqueue the prediction/goal program LAST, so it
+        # executes on-device while the caller steps the envs (the ~270 ms
+        # host phase the synchronous pred block used to serialize with)
+        if self._pred_async and trig.any():
+            n_trig = int(trig.sum())
+            fn = self._pred_prog_small if n_trig <= self._k_small \
+                else self._pred_prog_full
+            with T.stage("pred_dispatch"):
+                self.state, goal_dl = fn(self.state, h.hp_dev, h.trig_idxs)
+            self._pending_goal = goal_dl
+            self._reset_since_pred[:] = False
 
         self.last_stg = stg_results
         actions = self._action_rules(stg_results, starts, stop_now)

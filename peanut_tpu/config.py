@@ -116,6 +116,17 @@ class NavConfig:
                                  # near-goal where sweeps converge first —
                                  # decision test in test_fmm_oracle.py).
                                  # Default = exact tiling (parity mode).
+    pred_async: int = 0          # serving profile: run the prediction +
+                                 # goal-weighting program ASYNC after the
+                                 # tick (overlapping host env stepping)
+                                 # instead of inside it.  Same computation
+                                 # (shared pred_goal_update closure, on the
+                                 # same post-shuttle maps the sync block
+                                 # reads); the selected goal is applied one
+                                 # tick later.  Found-goal STOP behavior is
+                                 # unaffected (stays in-tick).  0 = exact
+                                 # reference phasing (agent_state.py:
+                                 # 345-415 runs before the plan solve).
     dd_block: int = 16           # goal-weighting field sweep tiling;
     dd_inner: int = 40           # serving profile uses block=8/inner=24
                                  # (~1.4x faster, max oracle error 1.55 vs

@@ -128,16 +128,18 @@ def test_navigation_success_bar():
 @pytest.mark.slow
 def test_navigation_success_bar_serving_profile():
     """The LOS tier again under the FULL serving profile (dd_downscale=2,
-    dd_order=1, dd/plan sweep tiling 8/24 — every approximation bench.py's
-    headline env metric runs with).  Episode-level evidence that the
-    serving knobs navigate, complementing the per-decision oracle pins
-    (test_goal_argmax_oracle.py, test_plan_serving_tiling_decisions)."""
+    dd_order=1, dd/plan sweep tiling 8/24, pred_async=1 — every
+    approximation bench.py's headline env metric runs with).  Episode-level
+    evidence that the serving knobs navigate, complementing the
+    per-decision oracle pins (test_goal_argmax_oracle.py,
+    test_plan_serving_tiling_decisions) and the async bit-equality pin
+    (test_pred_async.py)."""
     cfg = small_cfg(use_gt_seg=1, vision_range=60,
                     goal_erode=0, cat_pred_threshold=1.0,
                     max_episode_length=MAX_STEPS + 10,
                     timestep_limit=MAX_STEPS + 10,
                     dd_downscale=2, dd_order=1, dd_block=8, dd_inner=24,
-                    plan_block=8, plan_inner=24)
+                    plan_block=8, plan_inner=24, pred_async=1)
     pm = tiny_prediction_model(cfg)
     runner = BatchRunner(
         cfg, [lambda s=s: make_env(cfg, s) for s in SEEDS],
