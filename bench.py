@@ -83,10 +83,17 @@ def bench_prednet():
     float(fwd_sum(bf16_vars, xs[0]))  # warmup / compile
     float(fwd_sum(bf16_vars, xs[1]))
 
+    # dispatch the whole run asynchronously and fetch ONE scalar at the
+    # end: the device queue is FIFO, so the final fetch bounds all iters.
+    # Fetching every iteration (the r3/r4 harness) added one tunnel RTT
+    # (~25-60 ms, tunnel-health dependent) per iteration — that, not the
+    # model, was the r3->r4 "regression" (docs/ROUND5.md).
     iters = 20
     t0 = time.perf_counter()
+    out = None
     for i in range(iters):
-        float(fwd_sum(bf16_vars, xs[i % 2]))
+        out = fwd_sum(bf16_vars, xs[i % 2])
+    float(out)
     dt = time.perf_counter() - t0
     maps_per_sec = batch * iters / dt
 
@@ -146,10 +153,15 @@ def bench_seg():
     float(detect_sum(bf16_vars, xs[0]))  # warmup / compile
     float(detect_sum(bf16_vars, xs[1]))
 
+    # async dispatch chain + one closing fetch (FIFO device queue): the
+    # r3/r4 harness fetched per iteration and paid one tunnel RTT each,
+    # which is what moved 58.7 -> 39.3 f/s between rounds (ROUND5.md)
     iters = 10
     t0 = time.perf_counter()
+    out = None
     for i in range(iters):
-        float(detect_sum(bf16_vars, xs[i % 2]))
+        out = detect_sum(bf16_vars, xs[i % 2])
+    float(out)
     dt = time.perf_counter() - t0
     fps = batch * iters / dt
 

@@ -639,10 +639,16 @@ class BatchedNavRuntime:
         in lockstep-trigger regimes that can first happen dozens of ticks
         in, landing a multi-minute tunnel compile inside a measured tick
         (observed in BENCH r4 serving: one 3.5-min dispatch in tick 40ish).
-        Runs each variant once on zero inputs; device state is mutated
-        (zero-obs map splats) and callers should reset afterwards if they
-        need clean episodes — benches only need steady-state speed."""
+
+        State-safe (VERDICT r4 item 7): the device state is snapshotted
+        before the zero-input runs and restored afterwards, so warming up
+        mid-episode leaves bit-identical episode state
+        (tests/test_batched_runtime.py::test_warmup_mid_episode_state_safe).
+        The snapshot is a fresh buffer copy because the tick programs
+        donate their state argument."""
         import jax.numpy as jnp
+
+        saved_state = jax.tree.map(jnp.copy, self.state)
 
         cfg = self.cfg
         n = self.n
@@ -675,6 +681,7 @@ class BatchedNavRuntime:
                                      self._pred_prog_full]):
                 self.state, goal_dl = fn(self.state, hp_d, idxs)
                 np.asarray(goal_dl)
+        self.state = saved_state
 
     # ==================================================================
     # episode lifecycle
