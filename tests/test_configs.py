@@ -70,3 +70,23 @@ def test_registry_fake_component_pattern():
     assert obj.width == 7
     with pytest.raises(KeyError):
         reg.build({"type": "Missing"})
+
+
+REF_FIX = os.path.join(REPO, "tests/fixtures/ref_configs")
+_ref_cfgs = sorted(p for p in glob.glob(os.path.join(REF_FIX, "*/*.py"))
+                   if "_base_" not in p)
+
+
+@pytest.mark.parametrize("path", _ref_cfgs,
+                         ids=[os.path.basename(p) for p in _ref_cfgs])
+def test_reference_config_builds(path):
+    """Every VERBATIM upstream config fixture (see fixtures README) must
+    load through the _base_/_delete_ resolver and build its model —
+    proving mmcv Config.fromfile compatibility on unmodified files
+    (reference loader: prediction/train_prediction_model.py:216)."""
+    cfg = load_config(path)
+    assert "model" in cfg and "data" in cfg
+    # schedule/runtime keys from the _base_ chain must survive the merge
+    assert "optimizer" in cfg and "runner" in cfg
+    model = build_segmentor(cfg["model"])
+    assert model is not None
