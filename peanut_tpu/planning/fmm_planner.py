@@ -70,13 +70,33 @@ class FMMPlanner:
         self.du = int(self.step_size / (self.scale * 1.0))
         self.fmm_dist: Optional[np.ndarray] = None
 
-    def set_goal(self, goal) -> None:
-        """Single-cell goal."""
-        sources = np.zeros_like(self.traversible)
+    def set_goal(self, goal, auto_improve: bool = False) -> None:
+        """Single-cell goal (fmm_planner.py:56-66).
+
+        ``auto_improve`` snaps a goal that fell on a non-traversible cell
+        to the nearest traversible one first (fmm_planner.py:59-60; dead
+        on PEANUT's own call path — set_goal is only reached with
+        auto_improve's default False — but part of the planner's API)."""
         gx = int(goal[0] / self.scale)
         gy = int(goal[1] / self.scale)
+        if self.traversible[gx, gy] == 0.0 and auto_improve:
+            gx, gy = self._find_nearest_goal([gx, gy])
+        sources = np.zeros_like(self.traversible)
         sources[gx, gy] = 1
         self._solve(sources)
+
+    def _find_nearest_goal(self, goal) -> Tuple[int, int]:
+        """Nearest traversible cell to an off-map goal, by Euclidean
+        distance over an obstacle-free plane (fmm_planner.py:118-133:
+        the helper solves on an all-traversible grid, then masks to this
+        planner's traversible cells and takes the argmin)."""
+        free = np.ones_like(self.traversible)
+        helper = FMMPlanner(free, n_iters=self.n_iters)
+        helper.set_goal(goal)
+        dist_map = helper.fmm_dist * self.traversible
+        dist_map[dist_map == 0] = dist_map.max()
+        idx = int(dist_map.argmin())
+        return np.unravel_index(idx, dist_map.shape)
 
     def set_multi_goal(self, goal_map: np.ndarray) -> None:
         """Distance field to the set of goal cells."""

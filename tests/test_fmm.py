@@ -195,3 +195,31 @@ def test_order2_batched_matches_single():
     for b in range(2):
         db = np.asarray(eikonal_distance(trav[b], src[b], order=2))
         np.testing.assert_allclose(d[b], db, atol=1e-5)
+
+
+def test_set_goal_auto_improve_snaps_to_traversible():
+    """set_goal(auto_improve=True) on a non-traversible goal must solve
+    from the nearest traversible cell instead (reference
+    fmm_planner.py:56-60,118-133; dead on PEANUT's call path but part of
+    the planner API — VERDICT r4 item 10)."""
+    from peanut_tpu.planning.fmm_planner import FMMPlanner
+
+    trav = np.ones((40, 40), np.float32)
+    trav[10:30, 18:22] = 0.0          # wall band; goal dropped inside it
+    p = FMMPlanner(trav.copy())
+    p.set_goal([20, 20], auto_improve=True)
+    # the distance field must have a zero ON a traversible cell adjacent
+    # to the wall band (nearest by Euclidean distance), not inside it
+    zr, zc = np.unravel_index(np.argmin(p.fmm_dist), p.fmm_dist.shape)
+    assert trav[zr, zc] == 1.0
+    assert abs(zr - 20) <= 1 and abs(zc - 20) <= 4
+    assert p.fmm_dist[zr, zc] < 1e-6
+
+    # nearest-goal helper alone: picks the closest traversible cell
+    g = p._find_nearest_goal([20, 20])
+    assert trav[g[0], g[1]] == 1.0
+
+    # auto_improve=False keeps the literal cell as the source
+    q = FMMPlanner(trav.copy())
+    q.set_goal([20, 20], auto_improve=False)
+    assert q.fmm_dist[20, 20] < 1e-6
