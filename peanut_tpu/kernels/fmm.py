@@ -306,6 +306,19 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_fused() -> bool:
+    """Whole-solve fused kernel (fmm_fused.py) for the first-order phase.
+
+    Default on TPU; PEANUT_FMM_FUSED=0 falls back to the composed
+    per-sweep pipeline (the two paths share the oracle accuracy gates in
+    tests/test_fmm_oracle.py and scripts/validate_fmm_fused.py)."""
+    import os
+
+    if os.environ.get("PEANUT_FMM_FUSED") == "0":
+        return False
+    return _use_pallas()
+
+
 def _sweep(d, wall, reverse: bool, block: int, inner: int,
            scan_chunk: int = 1):
     if _use_pallas():
@@ -347,9 +360,6 @@ def _sweep2(d, wall, src, reverse: bool, block: int, inner: int):
     return _v_sweep2(d, wall, src, reverse, block=block, inner=inner)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters", "block", "inner",
-                                             "order", "n_iters2",
-                                             "scan_chunk"))
 def eikonal_distance(traversible, sources, n_iters: int = 2, block: int = 16,
                      inner: int = 40, order: int = 2, n_iters2: int = 2,
                      scan_chunk: int = 1):
@@ -377,23 +387,61 @@ def eikonal_distance(traversible, sources, n_iters: int = 2, block: int = 16,
     Returns:
       (..., H, W) float32 distances; +inf at walls and unreachable cells.
     """
+    # the fused-path flag must be part of the jit cache key (it is read
+    # from the environment, which a cached trace would otherwise ignore)
+    return _eikonal_impl(traversible, sources, n_iters=n_iters, block=block,
+                         inner=inner, order=order, n_iters2=n_iters2,
+                         scan_chunk=scan_chunk, fused=_use_fused())
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "block", "inner",
+                                             "order", "n_iters2",
+                                             "scan_chunk", "fused"))
+def _eikonal_impl(traversible, sources, n_iters, block, inner, order,
+                  n_iters2, scan_chunk, fused):
     trav = jnp.asarray(traversible) > 0
     src = jnp.asarray(sources) > 0
     wall = jnp.logical_not(trav) & jnp.logical_not(src)
     d = jnp.where(src, 0.0, BIG).astype(jnp.float32)
     wallf = wall
 
-    for _ in range(n_iters):
-        d = _axis_relax(d, wallf)
-        d = _sweep(d, wallf, False, block, inner, scan_chunk)
-        d = _sweep(d, wallf, True, block, inner, scan_chunk)
-        # Transposed orientation: columns become rows.
-        dt = jnp.swapaxes(d, -1, -2)
-        wt = jnp.swapaxes(wallf, -1, -2)
-        dt = _axis_relax(dt, wt)
-        dt = _sweep(dt, wt, False, block, inner, scan_chunk)
-        dt = _sweep(dt, wt, True, block, inner, scan_chunk)
-        d = jnp.swapaxes(dt, -1, -2)
+    fused = fused and d.ndim == 3
+    if fused:
+        # Whole first-order phase in one VMEM-resident kernel.  Round
+        # mapping (measured on 16 x 482^2 floorplans vs the marching
+        # oracle, docs/ROUND5.md): when this phase is the final answer
+        # (order 1), 2*n_iters down/up rounds + in-kernel vertical scans
+        # match the composed path's accuracy class; when it only blankets
+        # the order-2 refinement below, n_iters rounds suffice (the
+        # refinement determines every converged cell through the min).
+        from .fmm_fused import fused_eikonal
+
+        # 2*n_iters rounds + in-kernel vertical scans in BOTH roles: as
+        # the final order-1 answer and as the order-2 blanket (a weaker
+        # blanket leaks unconverged pockets through the min wherever the
+        # refinement has not reached — seen as STG descent-gap failures at
+        # the exact 16/40 tiling, scripts/validate_fmm_fused.py)
+        f_rounds, f_vscan = 2 * n_iters, True
+        # amortized scan schedule (same fixed point; measured neutral-to-
+        # better accuracy at chunk 4) unless the caller set an explicit
+        # incompatible chunk
+        f_chunk = scan_chunk if scan_chunk > 1 else (4 if inner % 4 == 0
+                                                     else 1)
+        d = fused_eikonal(trav, src, rounds=f_rounds, block=block,
+                          inner=inner, scan_chunk=f_chunk, vscan=f_vscan)
+        d = jnp.where(jnp.isinf(d), BIG, d)
+    else:
+        for _ in range(n_iters):
+            d = _axis_relax(d, wallf)
+            d = _sweep(d, wallf, False, block, inner, scan_chunk)
+            d = _sweep(d, wallf, True, block, inner, scan_chunk)
+            # Transposed orientation: columns become rows.
+            dt = jnp.swapaxes(d, -1, -2)
+            wt = jnp.swapaxes(wallf, -1, -2)
+            dt = _axis_relax(dt, wt)
+            dt = _sweep(dt, wt, False, block, inner, scan_chunk)
+            dt = _sweep(dt, wt, True, block, inner, scan_chunk)
+            d = jnp.swapaxes(dt, -1, -2)
 
     if order >= 2:
         # The high-order stencil must NOT see the first-order field: a

@@ -72,3 +72,28 @@ def test_pallas_sweep2_carry_isolated_between_batch_tiles(rng):
                                      block=16, inner=10, interpret=True))
     assert (got[1:] >= 0.5 * BIG).all()
     assert got[0, 5, 0] < 10.0
+
+
+# ---- whole-solve fused kernel (fmm_fused.py) ----
+
+from peanut_tpu.kernels.fmm_fused import fused_eikonal  # noqa: E402
+
+
+def test_fused_eikonal_matches_composed(rng):
+    """The fused whole-solve kernel must match the composed first-order
+    solver on small grids (interpret mode; the real-TPU twin of this
+    check is scripts/validate_fmm_fused.py, which also pins planner
+    decisions on full serving geometry)."""
+    from peanut_tpu.kernels.fmm import eikonal_distance
+
+    b, h, w = 2, 48, 40
+    trav = rng.rand(b, h, w) > 0.2
+    src = np.zeros((b, h, w), bool)
+    src[:, 10, 8] = True
+    ref = np.asarray(eikonal_distance(jnp.asarray(trav), jnp.asarray(src),
+                                      n_iters=3, order=1))
+    got = np.asarray(fused_eikonal(jnp.asarray(trav), jnp.asarray(src),
+                                   rounds=4, bt=1, interpret=True))
+    assert (np.isfinite(ref) == np.isfinite(got)).all()
+    m = np.isfinite(ref)
+    assert np.abs(ref[m] - got[m]).max() <= 1e-4
