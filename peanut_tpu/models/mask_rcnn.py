@@ -27,7 +27,7 @@ from .boxes import (anchors_for_level, apply_deltas, batched_nms,
 from .layers import Conv2d
 from .fpn import FPN
 from .resnet import ResNet
-from .roi_align import multilevel_roi_align
+from .roi_align import build_roi_stack, multilevel_roi_align
 
 PIXEL_MEAN_BGR = np.array([103.53, 116.28, 123.675], np.float32)
 FPN_STRIDES = (4, 8, 16, 32, 64)
@@ -180,11 +180,12 @@ class MaskRCNN(nn.Module):
         return jnp.take_along_axis(boxes, idx[..., None], axis=1), top_scores
 
     def box_inference(self, pyramid, proposals, prop_scores,
-                      img_h: int, img_w: int):
+                      img_h: int, img_w: int, roi_ctx=None):
         """ROI box head + per-class NMS -> fixed 100 detections/image."""
         bsz, n = proposals.shape[:2]
         feats = pyramid[:4]                               # p2..p5, batched
-        pooled = multilevel_roi_align(feats, proposals, FPN_STRIDES[:4], 7)
+        pooled = multilevel_roi_align(feats, proposals, FPN_STRIDES[:4], 7,
+                                      ctx=roi_ctx)
         x = self.box_head(pooled.reshape((bsz * n,) + pooled.shape[2:]))
         scores, deltas = self.box_predictor(x)
         probs = jax.nn.softmax(scores, axis=-1)[:, :self.num_classes]
@@ -216,10 +217,11 @@ class MaskRCNN(nn.Module):
                 det_scores,
                 jnp.take_along_axis(cand_cls, didx, axis=1))
 
-    def mask_inference(self, pyramid, det_boxes, det_classes):
+    def mask_inference(self, pyramid, det_boxes, det_classes, roi_ctx=None):
         bsz, n = det_boxes.shape[:2]
         feats = pyramid[:4]
-        pooled = multilevel_roi_align(feats, det_boxes, FPN_STRIDES[:4], 14)
+        pooled = multilevel_roi_align(feats, det_boxes, FPN_STRIDES[:4], 14,
+                                      ctx=roi_ctx)
         logits = self.mask_head(pooled.reshape((bsz * n,) + pooled.shape[2:]))
         logits = logits.reshape((bsz, n) + logits.shape[1:])
         sel = jnp.take_along_axis(
@@ -231,9 +233,13 @@ class MaskRCNN(nn.Module):
         img_h, img_w = images.shape[1], images.shape[2]
         pyramid = self.features(images)
         proposals, prop_scores = self.proposals(pyramid, img_h, img_w)
+        # one stacked-buffer context serves both ROI stages (round 5:
+        # rebuilding the ~0.5 GB stack per stage was measurable)
+        roi_ctx = build_roi_stack(pyramid[:4], FPN_STRIDES[:4])
         boxes, scores, classes = self.box_inference(
-            pyramid, proposals, prop_scores, img_h, img_w)
-        masks = self.mask_inference(pyramid, boxes, classes)
+            pyramid, proposals, prop_scores, img_h, img_w, roi_ctx=roi_ctx)
+        masks = self.mask_inference(pyramid, boxes, classes,
+                                    roi_ctx=roi_ctx)
         return {"boxes": boxes, "scores": scores,
                 "classes": classes, "masks": masks}
 

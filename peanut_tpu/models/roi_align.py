@@ -41,7 +41,7 @@ chunks of ordinary ROIs pay only the square pass (``n_tail`` below).
 from __future__ import annotations
 
 import os
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -109,9 +109,74 @@ def _cell_area_bound(strides: Sequence[int], k_min: int = 2,
     return bound
 
 
+def build_roi_stack(feats: Sequence[jnp.ndarray],
+                    strides: Sequence[int]) -> dict:
+    """Precompute the stacked pyramid buffers + static window geometry.
+
+    Everything here depends only on the feature pyramid (not on the boxes
+    or the pooled size), so one context serves BOTH ROI stages of a
+    detect — the box head's 7x7 pooling over 1000 proposals/img and the
+    mask head's 14x14 over 100 detections (round-5: rebuilding the
+    ~0.5 GB stacked/column-major/padded buffers per stage was a
+    measurable slice of the detect program)."""
+    bsz = feats[0].shape[0]
+    c = feats[0].shape[-1]
+    stacked, row_off, heights = stack_pyramid(feats)   # (B, sumH, maxW, C)
+    sum_h = int(heights.sum())
+    _, _, max_w, _ = stacked.shape
+    total_h = bsz * sum_h
+    stacked = stacked.reshape(total_h, max_w, c)
+
+    fin_h, fin_w = feats[0].shape[-3], feats[0].shape[-2]
+    max_coarse = max(feats[-1].shape[-3], feats[-1].shape[-2])
+    area_bound = _cell_area_bound(strides)
+    win = _ceil8(max(max_coarse + 4, np.sqrt(area_bound) + 4))
+    win = int(min(win, _ceil8(max(sum_h, max_w))))
+    thin = int(np.ceil(area_bound / max(win - 3, 1) + 3)) + 1
+    long_y = _ceil8(fin_h + 2)
+    square_covers_all = win >= max(_ceil8(fin_w + 2), long_y)
+    if os.environ.get("PEANUT_ROI_DEBUG") == "square":
+        square_covers_all = True   # diagnostic only: skip overflow passes
+
+    t2 = col_cum = None
+    sum_w = 0
+    if not square_covers_all:
+        widths = [f.shape[-2] for f in feats]
+        col_cum = np.cumsum([0] + widths[:-1])
+        sum_w = int(sum(widths))
+        blocks = []
+        for f in feats:
+            ft = jnp.swapaxes(f, 1, 2)          # (B, W_l, H_l, C)
+            ft = jnp.pad(ft, ((0, 0), (0, 0),
+                              (0, long_y - f.shape[-3]), (0, 0)))
+            blocks.append(ft)
+        t2 = jnp.concatenate(blocks, axis=1)    # (B, sumW, long_y, C)
+        t2 = t2.reshape(bsz * sum_w, long_y, c)
+
+    use_pallas = _use_pallas() and c % 128 == 0
+    padded3 = t2pad = None
+    thin8 = _ceil8(thin)
+    winx_long = _ceil8(fin_w + 2) + 8
+    if use_pallas:
+        pad_r = max(win, thin8)
+        pad_c = max(win + 8, winx_long)
+        padded3 = jnp.pad(stacked, ((0, pad_r), (0, pad_c), (0, 0)))
+        if t2 is not None:
+            t2pad = jnp.pad(t2, ((0, thin8), (0, 0), (0, 0)))
+
+    return dict(stacked=stacked, row_off=row_off, heights=heights,
+                sum_h=sum_h, max_w=max_w, total_h=total_h, t2=t2,
+                col_cum=col_cum, sum_w=sum_w, padded3=padded3, t2pad=t2pad,
+                win=win, thin=thin, thin8=thin8, long_y=long_y,
+                winx_long=winx_long, square_covers_all=square_covers_all,
+                use_pallas=use_pallas, fin_h=fin_h, fin_w=fin_w, c=c,
+                bsz=bsz)
+
+
 def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
                          strides: Sequence[int], output_size: int,
-                         sampling_ratio: int = 0) -> jnp.ndarray:
+                         sampling_ratio: int = 0,
+                         ctx: Optional[dict] = None) -> jnp.ndarray:
     """ROIAlign over an FPN pyramid (d2 ROIAlignV2 semantics).
 
     Args:
@@ -131,14 +196,14 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     if single:
         boxes = boxes[None]
         feats = [f[None] for f in feats]
+    if ctx is None:
+        ctx = build_roi_stack(feats, strides)
     bsz, nroi = boxes.shape[0], boxes.shape[1]
-    c = feats[0].shape[-1]
+    c = ctx["c"]
     p = output_size
-    stacked, row_off, heights = stack_pyramid(feats)   # (B, sumH, maxW, C)
-    sum_h = int(heights.sum())
-    _, _, max_w, _ = stacked.shape
-    total_h = bsz * sum_h
-    stacked = stacked.reshape(total_h, max_w, c)
+    stacked = ctx["stacked"]
+    row_off, heights = ctx["row_off"], ctx["heights"]
+    sum_h, max_w, total_h = ctx["sum_h"], ctx["max_w"], ctx["total_h"]
 
     n = bsz * nroi
     boxes = boxes.reshape(n, 4)
@@ -160,7 +225,7 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     bin_w = roi_w / p
     bin_h = roi_h / p
 
-    fin_h, fin_w = feats[0].shape[-3], feats[0].shape[-2]
+    fin_h, fin_w = ctx["fin_h"], ctx["fin_w"]
     if sampling_ratio > 0:
         s = sampling_ratio
         gx = jnp.full((n,), float(s))
@@ -205,24 +270,12 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     # hat(sy[i,j] - r) is the exact bilinear hat-function weight, so the
     # result is identical to the gather formulation up to summation order.
     # Window rows that alias other pyramid levels (or other images) get
-    # zero hat weight, so the aliasing is inert.
-    max_coarse = max(feats[-1].shape[-3], feats[-1].shape[-2])
-    area_bound = _cell_area_bound(strides)
-    # square window: covers every coarsest-level ROI, plus win >= 2 +
-    # sqrt(area_bound) so no fine-level ROI can overflow BOTH axes
-    win = _ceil8(max(max_coarse + 4, np.sqrt(area_bound) + 4))
-    win = int(min(win, _ceil8(max(sum_h, max_w))))
-    # overflow passes: a failed fit check (support > win - 2) implies the
-    # ROI spans > win - 3 cells on that axis, so by the area bound it has
-    # < area_bound / (win - 3) cells on the other; bilinear support spans
-    # ceil(max)-floor(min)+1 <= that + 2 rows (+1 safety).  No rounding-up
-    # to 8: the thin axis is a gather row count, not a lane dimension.
-    thin = int(np.ceil(area_bound / max(win - 3, 1) + 3)) + 1
-    long_y = _ceil8(fin_h + 2)
-    # the square window already spans the finest level -> nothing overflows
-    square_covers_all = win >= max(_ceil8(fin_w + 2), long_y)
-    if os.environ.get("PEANUT_ROI_DEBUG") == "square":
-        square_covers_all = True   # diagnostic only: skip overflow passes
+    # zero hat weight, so the aliasing is inert.  Window geometry and
+    # overflow-pass derivations: build_roi_stack above.
+    win = ctx["win"]
+    thin = ctx["thin"]
+    long_y = ctx["long_y"]
+    square_covers_all = ctx["square_covers_all"]
 
     # live-sample extremes, analytically: first live slot sits at bin 0
     # fraction 0.5/g, last at bin p-1 fraction (g-0.5)/g.  (Taking min/max
@@ -241,26 +294,14 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     fit_y = (max_sy - oy) <= win - 2
     cnt = jnp.maximum(gx * gy, 1.0)
 
-    # column-major twin of the stacked buffer for the y-elongated pass:
-    # per (image, level) blocks transposed so a ROI's thin COLUMN strip
-    # becomes a contiguous-row gather, levels concatenated along the
-    # (b, x) row axis and level heights padded to a common long_y
+    # column-major twin (built once in build_roi_stack); per-call offsets
+    t2 = ctx["t2"]
     t2_col_off = None
     if not square_covers_all:
-        widths = [f.shape[-2] for f in feats]
-        col_cum = np.cumsum([0] + widths[:-1])
-        sum_w = int(sum(widths))
-        blocks = []
-        for f in feats:
-            ft = jnp.swapaxes(f, 1, 2)          # (B, W_l, H_l, C)
-            ft = jnp.pad(ft, ((0, 0), (0, 0),
-                              (0, long_y - f.shape[-3]), (0, 0)))
-            blocks.append(ft)
-        t2 = jnp.concatenate(blocks, axis=1)    # (B, sumW, long_y, C)
-        t2 = t2.reshape(bsz * sum_w, long_y, c)
         batch_col = jnp.repeat(
-            jnp.arange(bsz, dtype=jnp.float32) * sum_w, nroi)
-        t2_col_off = jnp.asarray(col_cum, jnp.float32)[levels] + batch_col
+            jnp.arange(bsz, dtype=jnp.float32) * ctx["sum_w"], nroi)
+        t2_col_off = jnp.asarray(ctx["col_cum"], jnp.float32)[levels] \
+            + batch_col
 
     def hat_matrix(sam, msk, origin, length):
         """(m, p, s) sample coords + slot mask -> (m, p, length) weights."""
@@ -290,24 +331,14 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
         t = jnp.einsum("nqw,npwc->npqc", ax_, t)
         return t / cnt_[:, None, None, None]
 
-    # the kernel reshapes (win, win_x, C) -> (win, win_x*C), which Mosaic
-    # only lays out when C fills whole 128-lane registers (serving C=256)
-    use_pallas = _use_pallas() and c % 128 == 0
-    padded3 = None
-    thin8 = _ceil8(thin)
-    winx_long = _ceil8(fin_w + 2) + 8     # x-support bound of any ROI
-    if use_pallas:
-        # stacked buffer padded so row0+win / col0+win_x never run off the
-        # end (padding reads are inert: zero hat weight).  The kernel's
-        # col0 must be sublane-aligned (8), so the x window is 8 wider and
-        # origins round down — the extra columns carry zero hat weight.
-        pad_r = max(win, thin8)
-        pad_c = max(win + 8, winx_long)
-        padded3 = jnp.pad(stacked, ((0, pad_r), (0, pad_c), (0, 0)))
-    t2pad = None
-    if use_pallas and t2_col_off is not None:
-        # row-padded twin for the y-elongated rectangular windows
-        t2pad = jnp.pad(t2, ((0, thin8), (0, 0), (0, 0)))
+    # padded kernel buffers (built once in build_roi_stack); the kernel
+    # reshapes (win, win_x, C) -> (win, win_x*C), which Mosaic only lays
+    # out when C fills whole 128-lane registers (serving C=256)
+    use_pallas = ctx["use_pallas"]
+    padded3 = ctx["padded3"]
+    t2pad = ctx["t2pad"]
+    thin8 = ctx["thin8"]
+    winx_long = ctx["winx_long"]
 
     def pool_fast(args):
         sy, sx, my, mx, oy_, ox_, off_, _, cnt_, *_rest = args
@@ -402,11 +433,15 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     # ROIs cluster in the tail chunks.  Dynamic branching is NOT an
     # option: lax.cond inside lax.map executes both branches on TPU
     # (measured: overflow-fraction-independent cost), so the partition is
-    # STATIC — the sorted tail quarter of chunks always runs the exact
+    # STATIC — the sorted tail eighth of chunks always runs the exact
     # overflow passes, the head chunks only the square pass.  Exactness
-    # therefore holds for up to tail_budget overflowing ROIs (25% of the
-    # set, >= 1 chunk); any excess beyond the budget falls back to the
-    # square window.  Serving geometries measure 2-20% overflow.
+    # therefore holds for up to tail_budget overflowing ROIs (12.5% of
+    # the set, >= 1 chunk); any excess beyond the budget falls back to
+    # the square window.  Real-weight serving geometries measure 2-5%
+    # proposal overflow (the round-4 25% budget was sized to the
+    # random-weight bench's sliver boxes); the elongated passes DMA
+    # ~9 MB of windows per tail ROI, so the tail budget is a direct
+    # ~10 ms/batch lever on the box stage (round-5 profile).
     roi_chunk = 256
     pad_n = (-n) % sub_chunk if n <= roi_chunk else (-n) % roi_chunk
     if pad_n:
@@ -426,7 +461,7 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray], boxes: jnp.ndarray,
     elif np_ <= roi_chunk:
         n_tail = 1
     else:
-        n_tail = max(1, nch // 4)
+        n_tail = max(1, nch // 8)
         overflow_all = ~(args[9] & args[10])
         perm = jnp.argsort(overflow_all)   # stable: non-overflow first
         args = tuple(a[perm] for a in args)
