@@ -175,35 +175,44 @@ def _axis_ab(u1, u2):
     Second order (when the 2-away value is known and causally smaller):
     alpha=3/2, beta=(4*u1 - u2)/2, from the one-sided second-order
     difference (3u - 4u1 + u2)/2 — the same switch skfmm applies.
-    Axis excluded (alpha=0) when u1 is unknown.
-    """
+    Axis excluded (alpha=0) when u1 is unknown.  Also returns 1/alpha as
+    a select between constants (alpha only takes {0, 1, 1.5}) so
+    _godunov2 is divide-free — the order-2 stencil is compute-bound and
+    divides were ~25% of its VPU cycles (round 5; kept in lockstep with
+    the Pallas twin fmm_pallas.py::_axis_ab)."""
     known1 = u1 < 0.5 * BIG
     use2 = known1 & (u2 < 0.5 * BIG) & (u2 <= u1)
     alpha = jnp.where(known1, jnp.where(use2, 1.5, 1.0), 0.0)
     beta = jnp.where(known1,
                      jnp.where(use2, (4.0 * u1 - u2) * 0.5, u1), 0.0)
-    return alpha, beta, known1
+    inv_alpha = jnp.where(use2, jnp.float32(2.0 / 3.0), jnp.float32(1.0))
+    return alpha, beta, known1, inv_alpha
 
 
 def _godunov2(u1x, u2x, u1y, u2y):
-    """Godunov update with per-axis order selection.
+    """Godunov update with per-axis order selection (divide-free twin of
+    fmm_pallas.py::_godunov2; see _axis_ab).
 
     Solves the upwind quadratic with both axes; if the two-axis root
     violates upwindness on either axis (alpha*u < beta, the generalization
     of |a-b| >= 1), falls back to the better single-axis solution.
     """
-    ax, bx, kx = _axis_ab(u1x, u2x)
-    ay, by, ky = _axis_ab(u1y, u2y)
-    c1x = jnp.where(kx, (1.0 + bx) / jnp.maximum(ax, 1e-9), BIG)
-    c1y = jnp.where(ky, (1.0 + by) / jnp.maximum(ay, 1e-9), BIG)
+    ax, bx, kx, iax = _axis_ab(u1x, u2x)
+    ay, by, ky, iay = _axis_ab(u1y, u2y)
+    c1x = jnp.where(kx, (1.0 + bx) * iax, BIG)
+    c1y = jnp.where(ky, (1.0 + by) * iay, BIG)
     one_d = jnp.minimum(c1x, c1y)
     A = ax * ax + ay * ay
     B = ax * bx + ay * by
     C = bx * bx + by * by - 1.0
     disc = B * B - A * C
-    u2d = (B + jnp.sqrt(jnp.maximum(disc, 0.0))) / jnp.maximum(A, 1e-9)
-    ok = (disc >= 0.0) & kx & ky \
-        & (ax * u2d >= bx) & (ay * u2d >= by)
+    both15 = (iax != 1.0) & (iay != 1.0)
+    one15 = (iax != 1.0) ^ (iay != 1.0)
+    invA = jnp.where(both15, jnp.float32(1.0 / 4.5),
+                     jnp.where(one15, jnp.float32(1.0 / 3.25),
+                               jnp.float32(0.5)))
+    u2d = (B + jnp.sqrt(jnp.maximum(disc, 0.0))) * invA
+    ok = (disc >= 0.0) & kx & ky & (ax * u2d >= bx) & (ay * u2d >= by)
     return jnp.minimum(jnp.where(ok, u2d, one_d), BIG)
 
 
@@ -416,12 +425,20 @@ def _eikonal_impl(traversible, sources, n_iters, block, inner, order,
         # refinement determines every converged cell through the min).
         from .fmm_fused import fused_eikonal
 
-        # 2*n_iters rounds + in-kernel vertical scans in BOTH roles: as
-        # the final order-1 answer and as the order-2 blanket (a weaker
-        # blanket leaks unconverged pockets through the min wherever the
-        # refinement has not reached — seen as STG descent-gap failures at
-        # the exact 16/40 tiling, scripts/validate_fmm_fused.py)
-        f_rounds, f_vscan = 2 * n_iters, True
+        # Round mapping: as the final order-1 answer, 2*n_iters down/up
+        # rounds + in-kernel vertical scans land in the composed path's
+        # oracle-accuracy class; as the order-2 BLANKET, n_iters rounds
+        # without vscan suffice — the refinement determines every
+        # converged cell through the min, and all three round-5
+        # validation runs (blanket 2, blanket 4, composed control)
+        # produced bit-identical planner decisions including the same
+        # single pre-existing exact-tiling descent-gap outlier
+        # (scripts/validate_fmm_fused.py).  At 962^2 the stronger
+        # blanket costs ~115 ms/solve for nothing.
+        if order >= 2:
+            f_rounds, f_vscan = max(n_iters, 2), False
+        else:
+            f_rounds, f_vscan = 2 * n_iters, True
         # amortized scan schedule (same fixed point; measured neutral-to-
         # better accuracy at chunk 4) unless the caller set an explicit
         # incompatible chunk

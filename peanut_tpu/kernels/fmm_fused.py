@@ -42,10 +42,15 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 1.0e10
 
 
-def _seg_scan_lr(d, wall, w: int, reverse: bool):
-    """Hillis-Steele segmented min-plus scan along lanes (fmm_pallas.py)."""
-    a = jnp.where(wall, BIG, 1.0)
-    b = jnp.where(wall, BIG, d)
+def _seg_scan_lr(d, wl, w: int, reverse: bool):
+    """Hillis-Steele segmented min-plus scan along lanes (fmm_pallas.py).
+
+    ``wl`` is the wall mask as f32 0/1 — arithmetic masking throughout:
+    this Mosaic version miscompiles i1 relayouts of bf16-sourced compares
+    at batch tiles > 1 ("Invalid relayout ... replicated in destination").
+    """
+    a = jnp.minimum(1.0 + wl * BIG, BIG)
+    b = jnp.minimum(d + wl * BIG, BIG)
     s = 1
     while s < w:
         pad_a = jnp.full(a.shape[:-1] + (s,), 0.0, a.dtype)
@@ -70,10 +75,11 @@ def _godunov(a, b):
     return jnp.where(jnp.abs(diff) >= 1.0, direct, both)
 
 
-def _relax_block(blk, wall, top, bottom, w: int, inner: int,
+def _relax_block(blk, wl, top, bottom, w: int, inner: int,
                  scan_chunk: int):
     """First-order block relaxation: the composed kernel's body
-    (fmm_pallas.py::_sweep_kernel_batched) as a pure function."""
+    (fmm_pallas.py::_sweep_kernel_batched) as a pure function.  ``wl`` is
+    the f32 0/1 wall mask (see _seg_scan_lr on why not bool)."""
 
     def stencil(_, blk):
         up = jnp.concatenate([top, blk[:, :-1, :]], axis=1)
@@ -87,11 +93,11 @@ def _relax_block(blk, wall, top, bottom, w: int, inner: int,
              jnp.full(blk.shape[:-1] + (1,), BIG, blk.dtype)], axis=-1)
         b = jnp.minimum(left, right)
         cand = _godunov(a, b)
-        return jnp.where(wall, BIG, jnp.minimum(blk, cand))
+        return jnp.minimum(jnp.minimum(blk, cand) + wl * BIG, BIG)
 
     def body(_, blk):
-        blk = _seg_scan_lr(blk, wall, w, reverse=False)
-        blk = _seg_scan_lr(blk, wall, w, reverse=True)
+        blk = _seg_scan_lr(blk, wl, w, reverse=False)
+        blk = _seg_scan_lr(blk, wl, w, reverse=True)
         return jax.lax.fori_loop(0, scan_chunk, stencil, blk)
 
     return jax.lax.fori_loop(0, inner // scan_chunk, body, blk)
@@ -119,10 +125,10 @@ def _fused_kernel(d_hbm, wall_hbm, out_hbm, D, WL, sems,
     def down_body(k, carry):
         r0 = pl.multiple_of(k * block, block)
         blk = D[:, pl.ds(r0, block), :]
-        wall = WL[:, pl.ds(r0, block), :] > 0.5
+        wl = WL[:, pl.ds(r0, block), :].astype(jnp.float32)
         nxt0 = pl.multiple_of(jnp.minimum(k + 1, nb - 1) * block, block)
         bottom = jnp.where(k == nb - 1, BIG, D[:, pl.ds(nxt0, 1), :])
-        blk = _relax_block(blk, wall, carry, bottom, wp, inner, scan_chunk)
+        blk = _relax_block(blk, wl, carry, bottom, wp, inner, scan_chunk)
         D[:, pl.ds(r0, block), :] = blk
         return blk[:, block - 1:block, :]
 
@@ -130,13 +136,13 @@ def _fused_kernel(d_hbm, wall_hbm, out_hbm, D, WL, sems,
         k = nb - 1 - j
         r0 = pl.multiple_of(k * block, block)
         blk = D[:, pl.ds(r0, block), :]
-        wall = WL[:, pl.ds(r0, block), :] > 0.5
+        wl = WL[:, pl.ds(r0, block), :].astype(jnp.float32)
         prv0 = pl.multiple_of(jnp.maximum(k - 1, 0) * block, block)
         # aligned block load, static tail slice (Mosaic rejects dynamic
         # sublane starts that aren't provably 8-aligned)
         top = jnp.where(k == 0, BIG,
                         D[:, pl.ds(prv0, block), :][:, block - 1:block, :])
-        blk = _relax_block(blk, wall, top, carry, wp, inner, scan_chunk)
+        blk = _relax_block(blk, wl, top, carry, wp, inner, scan_chunk)
         D[:, pl.ds(r0, block), :] = blk
         return blk[:, 0:1, :]
 
@@ -150,10 +156,13 @@ def _fused_kernel(d_hbm, wall_hbm, out_hbm, D, WL, sems,
         def chunk_body(c, _):
             c0 = pl.multiple_of(c * 128, 128)
             d = D[:, :, pl.ds(c0, 128)]
-            wallc = WL[:, :, pl.ds(c0, 128)] > 0.5
+            # arithmetic masking (wl is exactly 0/1): Mosaic miscompiles
+            # the i1 relayout of `WL_slice > 0.5` at batch tiles > 1
+            # ("Invalid relayout ... replicated in destination")
+            wl = WL[:, :, pl.ds(c0, 128)].astype(jnp.float32)
             for rev in (False, True):
-                a = jnp.where(wallc, BIG, 1.0)
-                b = jnp.where(wallc, BIG, d)
+                a = jnp.minimum(1.0 + wl * BIG, BIG)
+                b = jnp.minimum(d + wl * BIG, BIG)
                 s = 1
                 while s < hp:
                     pad_a = jnp.full((bt, s, 128), 0.0, a.dtype)

@@ -174,27 +174,46 @@ def pallas_block_sweep(d, wall, block: int = 16, inner: int = 40,
 
 
 def _axis_ab(u1, u2):
-    """Per-axis upwind coefficients (second-order switch; fmm.py::_axis_ab)."""
+    """Per-axis upwind coefficients (second-order switch; fmm.py::_axis_ab).
+
+    Returns (alpha, beta, known, inv_alpha): alpha only ever takes the
+    values {0, 1, 1.5}, so its reciprocal is a SELECT between constants —
+    _godunov2 uses inv_alpha to avoid VPU divides (round-5: the order-2
+    stencil is compute-bound; 3 divides + their max-guards were ~25%% of
+    its cycles)."""
     known1 = u1 < 0.5 * BIG
     use2 = known1 & (u2 < 0.5 * BIG) & (u2 <= u1)
     alpha = jnp.where(known1, jnp.where(use2, 1.5, 1.0), 0.0)
     beta = jnp.where(known1,
                      jnp.where(use2, (4.0 * u1 - u2) * 0.5, u1), 0.0)
-    return alpha, beta, known1
+    inv_alpha = jnp.where(use2, jnp.float32(2.0 / 3.0), jnp.float32(1.0))
+    return alpha, beta, known1, inv_alpha
 
 
 def _godunov2(u1x, u2x, u1y, u2y):
-    """Order-selecting Godunov update (fmm.py::_godunov2, VMEM edition)."""
-    ax, bx, kx = _axis_ab(u1x, u2x)
-    ay, by, ky = _axis_ab(u1y, u2y)
-    c1x = jnp.where(kx, (1.0 + bx) / jnp.maximum(ax, 1e-9), BIG)
-    c1y = jnp.where(ky, (1.0 + by) / jnp.maximum(ay, 1e-9), BIG)
+    """Order-selecting Godunov update (fmm.py::_godunov2, divide-free).
+
+    alpha in {1, 1.5} on known axes, so 1/alpha and 1/(ax^2+ay^2) are
+    selects between the four possible constants instead of divides; the
+    off-by-ulp difference vs the divide form is inside the oracle
+    tolerances (tests/test_fmm_oracle.py) and the planner-decision
+    equivalence gate (scripts/validate_fmm_fused.py)."""
+    ax, bx, kx, iax = _axis_ab(u1x, u2x)
+    ay, by, ky, iay = _axis_ab(u1y, u2y)
+    c1x = jnp.where(kx, (1.0 + bx) * iax, BIG)
+    c1y = jnp.where(ky, (1.0 + by) * iay, BIG)
     one_d = jnp.minimum(c1x, c1y)
     A = ax * ax + ay * ay
     B = ax * bx + ay * by
     C = bx * bx + by * by - 1.0
     disc = B * B - A * C
-    u2d = (B + jnp.sqrt(jnp.maximum(disc, 0.0))) / jnp.maximum(A, 1e-9)
+    # 1/A by cases: {1+1, 1+2.25, 2.25+2.25} (only consumed when kx & ky)
+    both15 = (iax != 1.0) & (iay != 1.0)
+    one15 = (iax != 1.0) ^ (iay != 1.0)
+    invA = jnp.where(both15, jnp.float32(1.0 / 4.5),
+                     jnp.where(one15, jnp.float32(1.0 / 3.25),
+                               jnp.float32(0.5)))
+    u2d = (B + jnp.sqrt(jnp.maximum(disc, 0.0))) * invA
     ok = (disc >= 0.0) & kx & ky & (ax * u2d >= bx) & (ay * u2d >= by)
     return jnp.minimum(jnp.where(ok, u2d, one_d), BIG)
 
