@@ -49,6 +49,11 @@ def main():
     ap.add_argument("--plan_block", type=int, default=8,
                     help="STG planning-field sweep tiling (16/40 = exact)")
     ap.add_argument("--plan_inner", type=int, default=24)
+    ap.add_argument("--batch_env", type=int, default=0,
+                    help="vectorized batched env stepping (default 0: the "
+                         "threaded per-env path measures faster through "
+                         "the single-lane axon tunnel, whose staggered "
+                         "uploads it overlaps organically)")
     ap.add_argument("--pred_async", type=int, default=1,
                     help="1 = post-tick prediction program overlapping env "
                          "stepping (0 = exact in-tick phasing)")
@@ -88,7 +93,8 @@ def main():
         [lambda s=s: FakeNavEnv(cfg, size_m=14.0, seed=s,
                                 emit_gt_seg=bool(ns.gt_seg)) for s in
          range(ns.envs)],
-        prediction_model=pm, segmenter=segmenter, pipeline=ns.pipeline)
+        prediction_model=pm, segmenter=segmenter, pipeline=ns.pipeline,
+        batch_env=bool(ns.batch_env))
 
     # warmup (compile all tick programs, incl. the data-dependent replan /
     # magnify programs, which otherwise compile inside a measured tick)

@@ -850,6 +850,20 @@ class BatchedNavRuntime:
     def act_batch(self, observations: Sequence[Dict]) -> List[Dict]:
         return self.act_batch_collect(self.act_batch_dispatch(observations))
 
+    def wait_pending_goal(self):
+        """Land the async pred program's goal download (idempotent).
+
+        Callers that know host work they could overlap with this wait —
+        the batched-env runner stages observation uploads behind it —
+        may invoke it early; act_batch_dispatch calls it regardless."""
+        if self._pending_goal is None:
+            return
+        with self.timer.stage("pred_goal_wait"):
+            g = np.asarray(self._pending_goal).astype(np.int32)
+        keep = np.logical_not(self._reset_since_pred)
+        self.goal_shadow[keep] = g[keep]
+        self._pending_goal = None
+
     def act_batch_dispatch(self, observations: Sequence[Dict]
                            ) -> "TickHandle":
         """Phase 1: host bookkeeping + launch this tick's device program
@@ -866,12 +880,7 @@ class BatchedNavRuntime:
         # (the pred program ran on-device while the envs stepped; by now it
         # has finished, so this fetch is cheap).  Rows reset since the
         # dispatch keep their fresh episode goal.
-        if self._pending_goal is not None:
-            with T.stage("pred_goal_wait"):
-                g = np.asarray(self._pending_goal).astype(np.int32)
-            keep = np.logical_not(self._reset_since_pred)
-            self.goal_shadow[keep] = g[keep]
-            self._pending_goal = None
+        self.wait_pending_goal()
 
         # ---- host: pose integration + bookkeeping ---------------------
         pose_deltas = np.zeros((n, 3), np.float32)

@@ -34,10 +34,22 @@ from ..config import NavConfig
 class BatchRunner:
     def __init__(self, cfg: NavConfig, env_fns: List[Callable],
                  runtime: Optional[BatchedNavRuntime] = None,
-                 pipeline: int = 1, **runtime_kw):
+                 pipeline: int = 1, batch_env: bool = False, **runtime_kw):
         self.cfg = cfg
         self.envs = [fn() for fn in env_fns]
         self.n = len(self.envs)
+        # vectorized env stepping (VERDICT r4 item 1a): all raycasts in
+        # one numpy pass; observation streams are byte-identical to the
+        # per-env threaded path (tests/test_batched_fake_env.py), and the
+        # batched obs feed _pack_obs's stacked-upload fallbacks directly
+        self.batched_env = None
+        if batch_env:
+            if pipeline != 1:
+                raise ValueError("batch_env does not combine with "
+                                 "software pipelining")
+            from .fake import BatchedFakeNavEnv
+
+            self.batched_env = BatchedFakeNavEnv(self.envs)
         if runtime is not None and pipeline != 1:
             raise ValueError("pipeline > 1 builds its own runtimes; "
                              "pass runtime_kw instead of a runtime")
@@ -89,12 +101,27 @@ class BatchRunner:
         return self.runtimes[i // self.per], i % self.per
 
     def reset_all(self):
-        self.obs = list(self._pool.map(lambda e: e.reset(), self.envs))
+        if self.batched_env is not None:
+            self.obs = self.batched_env.reset_all()
+        else:
+            self.obs = list(self._pool.map(lambda e: e.reset(), self.envs))
         for i in range(self.n):
             rt, j = self._runtime_of(i)
             rt.reset_env(j)
 
     # ------------------------------------------------------------------
+    def _stage_batched(self, obs_list) -> None:
+        """Stage every observation through the runtime's ``stage_obs``
+        (device uploads + detect-chunk dispatches + depth preprocess),
+        fanned over the pool so the tunnel transfers stagger exactly as
+        in the threaded path.  Called from a background task so the whole
+        phase overlaps the async pred program's goal-download wait."""
+        rt = self.runtimes[0]
+        upload = getattr(rt, "stage_obs", None)
+        if upload is None:
+            return
+        list(self._pool.map(upload, obs_list))
+
     def _step_env(self, i: int, action: Dict, upload) -> int:
         """Step env i, reset it in place if the episode ended; returns 1
         when an episode finished."""
@@ -129,6 +156,32 @@ class BatchRunner:
     def tick(self) -> int:
         """One device tick + one env step per episode; returns the number
         of episodes that finished (and were reset in place)."""
+        if self.batched_env is not None:
+            rt = self.runtimes[0]
+            actions = rt.act_batch(self.obs)
+            done = 0
+
+            def on_done(i):
+                nonlocal done
+                self.metrics.append(self.envs[i].get_metrics())
+                self.batched_env.reset_one(i)
+                rt.reset_env(i)
+                done += 1
+
+            with rt.timer.stage("env_phase"):
+                self.obs = self.batched_env.step_all(actions,
+                                                     on_done=on_done)
+            # overlap the observation staging (one stacked ~15 MB rgb
+            # upload + detect-chunk dispatches + batched depth preprocess)
+            # with the async pred program's in-flight goal download — the
+            # host would otherwise idle through that wait and then pay
+            # the upload serially (round 5: the upload is ~170 ms through
+            # the tunnel, almost exactly the goal-wait window)
+            fut = self._half_pool.submit(self._stage_batched, self.obs)
+            rt.wait_pending_goal()
+            fut.result()
+            self.total_steps += self.n
+            return done
         if self.pipeline == 1:
             rt = self.runtimes[0]
             actions = rt.act_batch(self.obs)
