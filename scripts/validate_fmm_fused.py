@@ -63,6 +63,7 @@ def main():
         t_solve = 0.0
         flips = 0
         gap_vs_composed = 0.0
+        oracle_ok = "OK"
         for seed in range(11, 11 + ns.seeds):
             rng = np.random.RandomState(seed)
             trav = make_floorplan(rng, n=480, room=96, clutter=120)
@@ -79,9 +80,8 @@ def main():
             try:
                 check_decisions(trav, want, got,
                                 np.random.RandomState(seed), stg_gap_tol=0.5)
-                oracle_ok = "OK"
             except AssertionError as e:
-                oracle_ok = f"DEVIATION ({e})"
+                oracle_ok = f"DEVIATION ({e})"   # sticky across seeds
             # fused vs composed decision equivalence on the same world
             os.environ["PEANUT_FMM_FUSED"] = "0"
             composed = solver_field(trav, src, **kw)
