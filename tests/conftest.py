@@ -16,6 +16,16 @@ import jax  # noqa: E402
 
 # The axon TPU plugin can override JAX_PLATFORMS; force cpu explicitly.
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the runtime/mesh integration tests compile
+# multi-minute CPU programs; cache only the big ones (>=10 s) so repeat
+# runs (CI retries, local iteration) skip them.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
 # CPU XLA convs default to a reduced-precision oneDNN path; parity tests
 # need true f32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
