@@ -115,7 +115,7 @@ class BatchedNavRuntime:
     def __init__(self, cfg: NavConfig, num_envs: int,
                  prediction_model: Optional[PredictionModel] = None,
                  segmenter=None, predict_chunk: int = 8, mesh=None,
-                 mesh_axis: str = "data"):
+                 mesh_axis: str = "data", use_shard_map: bool = False):
         """mesh: optional jax.sharding.Mesh — when given, all per-episode
         device state shards its batch axis over ``mesh_axis`` so the fused
         tick program runs SPMD across chips (episodes are embarrassingly
@@ -124,6 +124,14 @@ class BatchedNavRuntime:
         self.n = num_envs
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        # shard_map per-device execution of the tick programs: GSPMD
+        # cannot partition the Pallas custom calls and replicates them
+        # (measured 6.6x the unsharded time on identical work,
+        # scripts/measure_scaling.py) — shard_map fixes that, but its
+        # 1-core CPU compile cost could not be bounded within round 5,
+        # so the driver-validated GSPMD path stays the default
+        # (docs/SCALING.md).
+        self.use_shard_map = use_shard_map
         if mesh is not None:
             ax = mesh.shape[mesh_axis]
             if num_envs % ax:
@@ -272,7 +280,8 @@ class BatchedNavRuntime:
         def pred_goal_update(full_maps, local_maps, collision, visited,
                              target_pred, dd_wt, dd_valid, cur_goal,
                              last_goal, last_goal_valid, trig, lmb_new,
-                             goal_cats, loc_new, trig_idxs, pred_k):
+                             goal_cats, loc_new, trig_idxs, pred_k,
+                             spmd: bool = False):
             """Target prediction + geodesic value weighting + goal argmax.
 
             The update_prediction/update_global_goal twin
@@ -283,7 +292,16 @@ class BatchedNavRuntime:
             gathered K-env subset (trig_idxs, padded with repeats) so
             trigger ticks pay O(K), not O(B).
             """
-            sub = trig_idxs[:pred_k]                    # (K,)
+            if spmd:
+                # under shard_map every index is SHARD-LOCAL; the global
+                # gathered-subset optimization cannot apply, so each
+                # shard runs prediction for its whole local batch with
+                # trig masking (the selects below keep non-triggered
+                # rows untouched)
+                pred_k = full_maps.shape[0]
+                sub = jnp.arange(pred_k)
+            else:
+                sub = trig_idxs[:pred_k]                # (K,)
             trig_s = trig[sub]
             lmb_s = lmb_new[sub]
             full_sub = full_maps[sub]                   # (K, nc, Hf, Wf)
@@ -391,7 +409,8 @@ class BatchedNavRuntime:
                     last_goal_valid)
 
         def tick(state: DeviceState, sem_u8, depth_cm, host_pack, trig_idxs,
-                 with_prediction: bool, pred_k: int = 0):
+                 with_prediction: bool, pred_k: int = 0,
+                 spmd: bool = False):
             (poses_new, lmb_old, lmb_new, goal_cats, no_erode, is_toilet,
              trig, preset_cells, preset_override, erode_first, starts,
              loc_new, line_pts, line_valid, col_pts, col_valid) = \
@@ -421,6 +440,7 @@ class BatchedNavRuntime:
             local_maps = B.mark_agent(local_maps, loc_r, loc_c, 2, (2, 3))
             local_maps = B.fill_disk(local_maps, 1, loc_r, loc_c,
                                      sel_r, sel_c, off)
+            n_loc = local_maps.shape[0]
             goal_in = state.cur_goal
             d2g = jnp.sqrt(
                 (loc_r - goal_in[:, 0]) ** 2
@@ -455,11 +475,11 @@ class BatchedNavRuntime:
                     full_maps, local_maps, collision, visited,
                     target_pred, dd_wt, dd_valid, cur_goal, last_goal,
                     last_goal_valid, trig, lmb_new, goal_cats, loc_new,
-                    trig_idxs, pred_k)
+                    trig_idxs, pred_k, spmd=spmd)
 
             # --- found-goal extraction (update_goal_map) ------------------
             if cfg.only_explore == 0:
-                bidx = jnp.arange(self.n)
+                bidx = jnp.arange(n_loc)
                 cat_maps = local_maps[bidx, goal_cats + 4]
                 cat_bin = (cat_maps > 0).astype(jnp.float32)
                 eroded = cat_bin
@@ -473,7 +493,7 @@ class BatchedNavRuntime:
                     (temp.sum(axis=(1, 2)) != 0)
             else:
                 temp = jnp.zeros_like(local_maps[:, 0])
-                found = jnp.zeros((self.n,), bool)
+                found = jnp.zeros((n_loc,), bool)
             single = jnp.zeros_like(temp)
             single = jax.vmap(
                 lambda g, rc: g.at[rc[0], rc[1]].set(1.0))(single, cur_goal)
@@ -511,13 +531,12 @@ class BatchedNavRuntime:
             # packed download: windows (121) | found | d2g | goal (2)
             k = plan.window.shape[-1]
             packed = jnp.concatenate([
-                plan.window.reshape(self.n, k * k),
+                plan.window.reshape(n_loc, k * k),
                 found.astype(jnp.float32)[:, None],
                 d2g[:, None],
                 cur_goal.astype(jnp.float32)], axis=1)
             return new_state, packed
 
-        @jax.jit
         def replan_program(state: DeviceState, lmb, loc_r, loc_c, flags,
                            goal_cats, no_erode, found, is_toilet):
             """Eroded-obstacle re-solve for replan-flagged envs (one jit)."""
@@ -535,7 +554,7 @@ class BatchedNavRuntime:
                 lmb[:, 2] == 0, lmb[:, 3] == self.Wf,
                 lmb[:, 0] == 0, lmb[:, 1] == self.Hf)
             # rebuild goal maps from device state
-            bidx = jnp.arange(self.n)
+            bidx = jnp.arange(state.local_maps.shape[0])
             cat_maps = state.local_maps[bidx, goal_cats + 4]
             cat_bin = (cat_maps > 0).astype(jnp.float32)
             eroded = cat_bin
@@ -558,21 +577,56 @@ class BatchedNavRuntime:
                 inner=int(getattr(cfg, "plan_inner", 40)))
             return plan.window
 
-        self._replan_program = replan_program
+        # --- program wrapping ------------------------------------------
+        # Without a mesh: plain jit.  With a mesh: shard_map over the
+        # episode axis — episodes are embarrassingly parallel, and GSPMD
+        # cannot partition the Pallas custom calls (eikonal sweeps, ROI
+        # windows), so plain jit REPLICATES them on every device
+        # (measured round 5: the 8-device sharded tick cost 6.6x the
+        # unsharded tick on identical total work; shard_map runs each
+        # device's local shard through the same programs instead).  The
+        # gathered-K prediction subset is a cross-shard gather, so spmd
+        # programs run prediction trig-masked over the local batch.
+        def wrap_tick(fn):
+            if self.mesh is None or not self.use_shard_map:
+                return jax.jit(fn, donate_argnums=(0,))
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
 
-        k_small = min(self.predict_chunk, self.n)
-        self._tick_pred_small = jax.jit(
-            partial(tick, with_prediction=True, pred_k=k_small),
-            donate_argnums=(0,))
-        self._tick_pred_full = jax.jit(
-            partial(tick, with_prediction=True, pred_k=self.n),
-            donate_argnums=(0,)) if k_small < self.n else self._tick_pred_small
+            d = P(self.mesh_axis)
+            st = DeviceState(*([d] * len(DeviceState._fields)))
+            return jax.jit(shard_map(
+                fn, mesh=self.mesh, in_specs=(st, d, d, d, d),
+                out_specs=(st, d), check_rep=False), donate_argnums=(0,))
+
+        def wrap_replan(fn):
+            if self.mesh is None or not self.use_shard_map:
+                return jax.jit(fn)
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            d = P(self.mesh_axis)
+            st = DeviceState(*([d] * len(DeviceState._fields)))
+            return jax.jit(shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(st, d, d, d, d, d, d, d, d),
+                out_specs=d, check_rep=False))
+
+        spmd = self.mesh is not None and self.use_shard_map
+        self._replan_program = wrap_replan(replan_program)
+
+        k_small = self.n if spmd else min(self.predict_chunk, self.n)
+        self._tick_pred_small = wrap_tick(
+            partial(tick, with_prediction=True, pred_k=k_small, spmd=spmd))
+        self._tick_pred_full = wrap_tick(
+            partial(tick, with_prediction=True, pred_k=self.n,
+                    spmd=spmd)) if k_small < self.n             else self._tick_pred_small
         self._k_small = k_small
-        self._tick_no_pred = jax.jit(partial(tick, with_prediction=False),
-                                     donate_argnums=(0,))
+        self._tick_no_pred = wrap_tick(partial(tick, with_prediction=False,
+                                               spmd=spmd))
 
         def pred_program(state: DeviceState, host_pack, trig_idxs,
-                         pred_k: int):
+                         pred_k: int, spmd: bool = False):
             """Standalone prediction/goal update for ``pred_async`` serving
             mode: the post-tick device state holds exactly the arrays the
             in-tick pred block reads (the tick stores local/full maps as of
@@ -588,7 +642,7 @@ class BatchedNavRuntime:
                 state.visited, state.target_pred, state.dd_wt,
                 state.dd_valid, state.cur_goal, state.last_goal,
                 state.last_goal_valid, trig, lmb_new, goal_cats, loc_new,
-                trig_idxs, pred_k)
+                trig_idxs, pred_k, spmd=spmd)
             new_state = state._replace(
                 target_pred=tp, dd_wt=ddw, dd_valid=ddv, cur_goal=cg,
                 last_goal=lg, last_goal_valid=lgv)
