@@ -7,6 +7,7 @@ would silently test a different environment than serving runs.
 """
 
 import numpy as np
+import pytest
 
 from peanut_tpu.config import NavConfig
 from peanut_tpu.envs.fake import BatchedFakeNavEnv, FakeNavEnv
@@ -60,6 +61,7 @@ def test_batched_obs_bit_identical_over_episode():
                 assert dones[i] == m
 
 
+@pytest.mark.slow
 def test_batched_runner_matches_threaded():
     """BatchRunner(batch_env=True) must produce identical episode metrics
     to the threaded runner on the same envs."""
